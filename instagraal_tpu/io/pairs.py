@@ -1,0 +1,199 @@
+"""Vectorized 4DN pairs-file parsing and fragment binning.
+
+Replaces the reference's per-line Python loop (reference pre.py:135-236)
+with chunked pandas reads + NumPy searchsorted, which is one to two orders
+of magnitude faster on large pairs files — the dominant cost of both pre
+and post in the reference.
+
+Pairs positions are 1-based; a read at the last base of a fragment
+(1-based pos == cut coordinate) is assigned to the left fragment by doing
+``pos - 1`` before the binary search, matching hicstuff/reference semantics
+(reference pre.py:168-182).
+"""
+
+from __future__ import annotations
+
+import gzip
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_COLS = {"chr1": 1, "pos1": 2, "chr2": 3, "pos2": 4}
+
+
+def _opener(path: str | pathlib.Path):
+    if str(path).endswith((".gz", ".bgz")):
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def read_pairs_header(path: str | pathlib.Path) -> tuple[list[str], dict[str, int]]:
+    """Return (raw header lines, column name -> index map).
+
+    Falls back to the 4DN default ordering when no ``#columns:`` line is
+    present (reference pre.py:185).
+    """
+    header: list[str] = []
+    cols = dict(DEFAULT_COLS)
+    with _opener(path) as fh:
+        for line in fh:
+            if not line.startswith("#"):
+                break
+            header.append(line.rstrip("\n"))
+            if line.startswith("#columns:"):
+                names = line.strip().split()[1:]
+                for key in DEFAULT_COLS:
+                    if key in names:
+                        cols[key] = names.index(key)
+    return header, cols
+
+
+class FragmentIndex:
+    """Maps (chrom, 1-based pos) -> global 0-based fragment id."""
+
+    def __init__(self, bins: pd.DataFrame):
+        self.chrom_order: list[str] = []
+        self.starts: dict[str, np.ndarray] = {}
+        self.offsets: dict[str, int] = {}
+        cumul = 0
+        for chrom, grp in bins.groupby("chrom", sort=False):
+            self.chrom_order.append(chrom)
+            self.starts[chrom] = grp["start"].to_numpy(dtype=np.int64)
+            self.offsets[chrom] = cumul
+            cumul += len(grp)
+        self.n_frags = cumul
+
+    def lookup(self, chroms: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        """Vectorized mapping; returns -1 for unknown chroms / bad positions."""
+        out = np.full(len(chroms), -1, dtype=np.int64)
+        # group rows by chrom to use per-chrom searchsorted
+        order = np.argsort(chroms, kind="stable")
+        sorted_chroms = chroms[order]
+        boundaries = np.flatnonzero(
+            np.r_[True, sorted_chroms[1:] != sorted_chroms[:-1]]
+        )
+        boundaries = np.r_[boundaries, len(sorted_chroms)]
+        for b0, b1 in zip(boundaries[:-1], boundaries[1:]):
+            chrom = sorted_chroms[b0]
+            idx = order[b0:b1]
+            starts = self.starts.get(chrom)
+            if starts is None:
+                continue
+            loc = np.searchsorted(starts, pos[idx] - 1, side="right") - 1
+            ok = loc >= 0
+            out[idx[ok]] = loc[ok] + self.offsets[chrom]
+        return out
+
+
+def pairs_to_pixels(
+    pairs_path: str | pathlib.Path,
+    bins: pd.DataFrame,
+    chunksize: int = 2_000_000,
+) -> tuple[pd.DataFrame, int]:
+    """Bin a pairs file into upper-triangular fragment pixel counts.
+
+    Returns (pixels DataFrame with bin1_id/bin2_id/count sorted by
+    (bin1_id, bin2_id), total number of valid pairs) — same output
+    contract as reference pre.py:135-236.
+    """
+    _, cols = read_pairs_header(pairs_path)
+    index = FragmentIndex(bins)
+    n = index.n_frags
+    usecols = sorted({cols["chr1"], cols["pos1"], cols["chr2"], cols["pos2"]})
+    remap = {orig: i for i, orig in enumerate(usecols)}
+
+    total = 0
+
+    reader = pd.read_csv(
+        pairs_path,
+        sep="\t",
+        comment="#",
+        header=None,
+        usecols=usecols,
+        dtype={cols["chr1"]: str, cols["chr2"]: str},
+        chunksize=chunksize,
+        engine="c",
+    )
+    part_keys: list[np.ndarray] = []
+    part_counts: list[np.ndarray] = []
+    for chunk in reader:
+        chr1 = chunk.iloc[:, remap[cols["chr1"]]].to_numpy(dtype=object)
+        pos1 = pd.to_numeric(
+            chunk.iloc[:, remap[cols["pos1"]]], errors="coerce"
+        ).to_numpy()
+        chr2 = chunk.iloc[:, remap[cols["chr2"]]].to_numpy(dtype=object)
+        pos2 = pd.to_numeric(
+            chunk.iloc[:, remap[cols["pos2"]]], errors="coerce"
+        ).to_numpy()
+        valid = ~(np.isnan(pos1) | np.isnan(pos2))
+        b1 = index.lookup(chr1[valid], pos1[valid].astype(np.int64))
+        b2 = index.lookup(chr2[valid], pos2[valid].astype(np.int64))
+        ok = (b1 >= 0) & (b2 >= 0)
+        b1, b2 = b1[ok], b2[ok]
+        total += int(ok.sum())
+        lo = np.minimum(b1, b2)
+        hi = np.maximum(b1, b2)
+        # aggregate within the chunk to bound memory by nnz, not n_pairs
+        k, c = np.unique(lo * n + hi, return_counts=True)
+        part_keys.append(k)
+        part_counts.append(c)
+
+    if part_keys:
+        keys = np.concatenate(part_keys)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        counts = np.bincount(inv, weights=np.concatenate(part_counts)).astype(
+            np.int64
+        )
+        pixels = pd.DataFrame(
+            {
+                "bin1_id": (uniq // n).astype(np.int32),
+                "bin2_id": (uniq % n).astype(np.int32),
+                "count": counts.astype(np.int32),
+            }
+        )
+    else:
+        pixels = pd.DataFrame(
+            {
+                "bin1_id": np.array([], dtype=np.int32),
+                "bin2_id": np.array([], dtype=np.int32),
+                "count": np.array([], dtype=np.int32),
+            }
+        )
+    return pixels, total
+
+
+def iter_pairs_records(
+    pairs_path: str | pathlib.Path, chunksize: int = 2_000_000
+):
+    """Yield (chr1, pos1, chr2, pos2) numpy column chunks from a pairs file.
+
+    Shared helper for the post-processing liftover, which needs to stream
+    the same file several ways (reference post.py:248-420).
+    """
+    _, cols = read_pairs_header(pairs_path)
+    usecols = sorted({cols["chr1"], cols["pos1"], cols["chr2"], cols["pos2"]})
+    remap = {orig: i for i, orig in enumerate(usecols)}
+    reader = pd.read_csv(
+        pairs_path,
+        sep="\t",
+        comment="#",
+        header=None,
+        usecols=usecols,
+        dtype={cols["chr1"]: str, cols["chr2"]: str},
+        chunksize=chunksize,
+        engine="c",
+    )
+    for chunk in reader:
+        yield (
+            chunk.iloc[:, remap[cols["chr1"]]].to_numpy(dtype=object),
+            pd.to_numeric(chunk.iloc[:, remap[cols["pos1"]]], errors="coerce")
+            .fillna(-1)
+            .to_numpy()
+            .astype(np.int64),
+            chunk.iloc[:, remap[cols["chr2"]]].to_numpy(dtype=object),
+            pd.to_numeric(chunk.iloc[:, remap[cols["pos2"]]], errors="coerce")
+            .fillna(-1)
+            .to_numpy()
+            .astype(np.int64),
+        )

@@ -1,0 +1,214 @@
+"""Synthetic Hi-C data generation for tests and benchmarks.
+
+The reference test suite relies on a real yeast pairs file downloaded from
+Zenodo (absent from this snapshot). Instead we simulate Hi-C read pairs
+directly from a known genome arrangement: contigs whose FASTA descriptions
+record their true source coordinates (``from_<chrom>:<s>-<e>``, as written
+by reference scripts/make_insilico_assembly.py) are placed back on their
+source chromosomes, pairs are drawn from a power-law contact model on the
+true genome, and mapped back to contig-local coordinates. This yields test
+data with exact ground truth for scaffold-quality assertions.
+"""
+
+from __future__ import annotations
+
+import gzip
+import pathlib
+import re
+
+import numpy as np
+
+from .io.fasta import read_fasta
+
+_DESC_RE = re.compile(r"from_([^:]+):(\d+)-(\d+)")
+
+
+def parse_true_layout(
+    fasta_path: str | pathlib.Path,
+) -> tuple[dict[str, str], dict[str, list[tuple[str, int, int]]]]:
+    """Read a contigs FASTA whose headers carry true coordinates.
+
+    Returns (contig sequences, chrom -> sorted list of (contig, start, end)).
+    """
+    records: dict[str, str] = {}
+    layout: dict[str, list[tuple[str, int, int]]] = {}
+    name = None
+    desc = ""
+    chunks: list[str] = []
+
+    def _flush():
+        if name is None:
+            return
+        records[name] = "".join(chunks)
+        m = _DESC_RE.search(desc)
+        if m:
+            chrom, s, e = m.group(1), int(m.group(2)), int(m.group(3))
+            layout.setdefault(chrom, []).append((name, s, e))
+
+    opener = gzip.open if str(fasta_path).endswith(".gz") else open
+    with opener(fasta_path, "rt") as fh:
+        for line in fh:
+            line = line.rstrip()
+            if line.startswith(">"):
+                _flush()
+                parts = line[1:].split(None, 1)
+                name = parts[0]
+                desc = parts[1] if len(parts) > 1 else ""
+                chunks = []
+            elif line:
+                chunks.append(line)
+        _flush()
+    for chrom in layout:
+        layout[chrom].sort(key=lambda t: t[1])
+    return records, layout
+
+
+def simulate_pairs(
+    contigs_fasta: str | pathlib.Path,
+    out_pairs: str | pathlib.Path,
+    n_pairs: int = 500_000,
+    seed: int = 17,
+    slope: float = -1.1,
+    min_dist: int = 1_000,
+    trans_fraction: float = 0.10,
+) -> dict:
+    """Simulate Hi-C pairs from the true arrangement of a contig assembly.
+
+    Intra-chromosomal pair distances follow a truncated power law
+    P(s) ~ s**slope (s >= min_dist); trans pairs are uniform across
+    chromosome pairs. Output is a gzip 4DN pairs file with contig-local
+    coordinates (1-based), ready for `instagraal-pre`.
+    """
+    rng = np.random.default_rng(seed)
+    records, layout = parse_true_layout(contigs_fasta)
+    if not layout:
+        raise ValueError(
+            "No true-coordinate headers (from_<chrom>:<s>-<e>) found in "
+            f"{contigs_fasta}"
+        )
+
+    chroms = sorted(layout)
+    chrom_len = {c: max(e for _, _, e in layout[c]) for c in chroms}
+    lengths = np.array([chrom_len[c] for c in chroms], dtype=np.float64)
+    p_chrom = lengths / lengths.sum()
+
+    # per-chrom interval arrays for true-pos -> contig mapping
+    starts = {c: np.array([s for _, s, _ in layout[c]]) for c in chroms}
+    ends = {c: np.array([e for _, _, e in layout[c]]) for c in chroms}
+    names = {c: np.array([n for n, _, _ in layout[c]], dtype=object) for c in chroms}
+
+    n_trans = int(n_pairs * trans_fraction)
+    n_cis = n_pairs - n_trans
+
+    # --- cis pairs ---
+    cis_chrom_idx = rng.choice(len(chroms), size=n_cis, p=p_chrom)
+    L = lengths[cis_chrom_idx]
+    u = rng.random(n_cis)
+    # inverse CDF of truncated power law on [min_dist, L]
+    a = slope + 1.0
+    smax = np.maximum(L - 1, min_dist + 1)
+    if abs(a) < 1e-9:
+        dist = min_dist * np.exp(u * np.log(smax / min_dist))
+    else:
+        dist = (min_dist**a + u * (smax**a - min_dist**a)) ** (1.0 / a)
+    dist = np.minimum(dist, smax).astype(np.int64)
+    pos1 = (rng.random(n_cis) * np.maximum(L - dist, 1)).astype(np.int64)
+    pos2 = pos1 + dist
+    c1 = np.array(chroms, dtype=object)[cis_chrom_idx]
+    c2 = c1.copy()
+
+    # --- trans pairs ---
+    t1 = rng.choice(len(chroms), size=n_trans, p=p_chrom)
+    t2 = rng.choice(len(chroms), size=n_trans, p=p_chrom)
+    tp1 = (rng.random(n_trans) * lengths[t1]).astype(np.int64)
+    tp2 = (rng.random(n_trans) * lengths[t2]).astype(np.int64)
+
+    all_c1 = np.concatenate([c1, np.array(chroms, dtype=object)[t1]])
+    all_p1 = np.concatenate([pos1, tp1])
+    all_c2 = np.concatenate([c2, np.array(chroms, dtype=object)[t2]])
+    all_p2 = np.concatenate([pos2, tp2])
+
+    # --- map true coordinates to contig-local ---
+    def to_contig(chrom_arr, pos_arr):
+        out_name = np.empty(len(chrom_arr), dtype=object)
+        out_pos = np.full(len(chrom_arr), -1, dtype=np.int64)
+        for c in chroms:
+            mask = chrom_arr == c
+            if not mask.any():
+                continue
+            idx = np.searchsorted(starts[c], pos_arr[mask], side="right") - 1
+            ok = (idx >= 0) & (pos_arr[mask] < ends[c][np.clip(idx, 0, None)])
+            sel = np.flatnonzero(mask)[ok]
+            loc = idx[ok]
+            out_name[sel] = names[c][loc]
+            out_pos[sel] = pos_arr[mask][ok] - starts[c][loc] + 1  # 1-based
+        return out_name, out_pos
+
+    n1, q1 = to_contig(all_c1, all_p1)
+    n2, q2 = to_contig(all_c2, all_p2)
+    keep = (q1 > 0) & (q2 > 0)
+    n1, q1, n2, q2 = n1[keep], q1[keep], n2[keep], q2[keep]
+
+    strands = np.array(["+", "-"], dtype=object)
+    s1 = strands[rng.integers(0, 2, len(n1))]
+    s2 = strands[rng.integers(0, 2, len(n1))]
+
+    out_pairs = pathlib.Path(out_pairs)
+    opener = gzip.open if str(out_pairs).endswith(".gz") else open
+    with opener(out_pairs, "wt") as fh:
+        fh.write("## pairs format v1.0\n")
+        for cname in sorted(records):
+            fh.write(f"#chromsize: {cname} {len(records[cname])}\n")
+        fh.write("#columns: readID chr1 pos1 chr2 pos2 strand1 strand2\n")
+        for i in range(len(n1)):
+            fh.write(
+                f"read{i}\t{n1[i]}\t{q1[i]}\t{n2[i]}\t{q2[i]}\t{s1[i]}\t{s2[i]}\n"
+            )
+    return {
+        "n_written": int(len(n1)),
+        "n_requested": n_pairs,
+        "n_chroms": len(chroms),
+        "n_contigs": len(records),
+    }
+
+
+def make_toy_genome(
+    out_fasta: str | pathlib.Path,
+    n_chroms: int = 3,
+    chrom_len: int = 60_000,
+    n_contigs_per_chrom: int = 5,
+    seed: int = 5,
+) -> dict:
+    """Write a small random contig assembly with true-coordinate headers.
+
+    Useful for fast unit tests that exercise the whole pipeline without the
+    12.4 Mb yeast genome.
+    """
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    lines = []
+    idx = 1
+    for ci in range(n_chroms):
+        chrom = f"chr{ci + 1}"
+        seq = "".join(rng.choice(bases, size=chrom_len))
+        cuts = np.sort(
+            rng.choice(
+                np.arange(1000, chrom_len - 1000),
+                size=n_contigs_per_chrom - 1,
+                replace=False,
+            )
+        )
+        bounds = [0, *cuts.tolist(), chrom_len]
+        order = rng.permutation(len(bounds) - 1)
+        for k in order:
+            s, e = bounds[k], bounds[k + 1]
+            lines.append((f"contig_{idx:03d} from_{chrom}:{s}-{e}", seq[s:e]))
+            idx += 1
+    out_fasta = pathlib.Path(out_fasta)
+    opener = gzip.open if str(out_fasta).endswith(".gz") else open
+    with opener(out_fasta, "wt") as fh:
+        for header, seq in lines:
+            fh.write(f">{header}\n")
+            for i in range(0, len(seq), 61):
+                fh.write(seq[i : i + 61] + "\n")
+    return {"n_contigs": idx - 1, "n_chroms": n_chroms}

@@ -1,0 +1,53 @@
+"""Shared fixtures.
+
+JAX is forced onto a virtual 8-device CPU mesh so that multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §7 build plan item 7).
+Set INSTAGRAAL_TPU_REAL_DEVICE=1 to run the suite on the real backend.
+"""
+
+import os
+
+if not os.environ.get("INSTAGRAAL_TPU_REAL_DEVICE"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import pathlib
+
+import pytest
+
+TESTS_DIR = pathlib.Path(__file__).parent
+DATA_DIR = TESTS_DIR / "data"
+YEAST_CONTIGS = pathlib.Path("/root/reference/tests/data/yeast.contigs.fa.gz")
+
+
+@pytest.fixture(scope="session")
+def toy_assembly(tmp_path_factory):
+    """Small random assembly + simulated pairs; fast enough for every run."""
+    from instagraal_tpu.testing import make_toy_genome, simulate_pairs
+
+    root = tmp_path_factory.mktemp("toy")
+    fasta = root / "toy.contigs.fa.gz"
+    pairs = root / "toy.pairs.gz"
+    make_toy_genome(fasta)
+    simulate_pairs(fasta, pairs, n_pairs=150_000, seed=11)
+    return {"fasta": fasta, "pairs": pairs, "root": root}
+
+
+@pytest.fixture(scope="session")
+def toy_pre(toy_assembly, tmp_path_factory):
+    """Run instagraal-pre once on the toy assembly."""
+    from instagraal_tpu.pre import run_pre
+
+    out = tmp_path_factory.mktemp("toy_pre")
+    stats = run_pre(
+        toy_assembly["fasta"],
+        toy_assembly["pairs"],
+        ["DpnII"],
+        out,
+        plot=False,
+    )
+    return {"dir": out, "stats": stats, **toy_assembly}
