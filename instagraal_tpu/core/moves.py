@@ -1,0 +1,147 @@
+"""Batched generation of the 24 candidate mutations.
+
+The reference materializes each candidate genome in one of 24 shadow GPU
+structs via ~30 sequential kernel launches per candidate pair
+(reference cuda_lib_gl_single.py:1642-1923 pop_out_pop_in/transloc/
+insert_blocks). Here `all_candidate_states` produces the full stack of 24
+mutated FragStates as one traced computation, so XLA fuses the whole move
+generation and downstream scoring batches over the mutation axis.
+
+Mutation index layout (reference cuda_lib_gl_single.py:1601-1620):
+
+   0  eject (pop out into singleton)
+   1  flip
+   2  pop out + split-insert left  of B, watson
+   3  pop out + split-insert left  of B, crick
+   4  pop out + split-insert right of B, watson
+   5  pop out + split-insert right of B, crick
+   6  pop out + insert right of B, watson
+   7  pop out + insert right of B, crick
+   8-11   translocations: split at A (down/up) x split at B (down/up) + paste
+   12-23  block inserts: 6 block sizes x {upstream, downstream}
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ops
+from .state import FragState
+
+N_MUTATIONS = 24
+BLOCK_SIZES = np.array([1, 3, 5, 10, 20, 50], dtype=np.int32)
+# reference cuda_lib_gl_single.py:417-422
+
+
+def stack_states(states: list[FragState]) -> FragState:
+    """Stack a list of FragStates into one with a leading mutation axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def all_candidate_states(
+    state: FragState,
+    id_fA,
+    id_fB,
+    max_id,
+    flip_eject: bool | jnp.ndarray = True,
+) -> tuple[FragState, jnp.ndarray]:
+    """Generate the 24 mutated genomes for the (id_fA, id_fB) pair.
+
+    Returns (stacked FragState with leading axis 24, validity mask[24]).
+    The mask mirrors extract_uniq_mutations (kernel :4492): eject/flip are
+    only proposed once per sweep step (flip_eject), pop-ins need contig B
+    length > 1, translocations need contig A length > 1, block inserts
+    follow get_bounds validity.
+    """
+    list_bounds = jnp.asarray(BLOCK_SIZES)
+
+    # --- modes 0-7: pop out (+ reinsert) ---
+    popped = ops.pop_out(state, id_fA, max_id)
+    max_id2 = jnp.max(popped.id_c)
+    states = [
+        popped,  # 0 eject
+        ops.flip(state, id_fA),  # 1 flip
+        ops.pop_in_1(popped, id_fA, id_fB, max_id2, 1),
+        ops.pop_in_1(popped, id_fA, id_fB, max_id2, -1),
+        ops.pop_in_2(popped, id_fA, id_fB, max_id2, 1),
+        ops.pop_in_2(popped, id_fA, id_fB, max_id2, -1),
+        ops.pop_in_3(popped, id_fA, id_fB, max_id2, 1),
+        ops.pop_in_3(popped, id_fA, id_fB, max_id2, -1),
+    ]
+
+    # --- modes 8-11: translocations ---
+    for up_a in (0, 1):
+        s1 = ops.split_contig(state, id_fA, up_a, max_id)
+        m1 = jnp.max(s1.id_c)
+        for up_b in (0, 1):
+            s2 = ops.split_contig(s1, id_fB, up_b, m1)
+            m2 = jnp.max(s2.id_c)
+            states.append(ops.paste_contigs(s2, id_fA, id_fB, m2))
+
+    # --- modes 12-23: block inserts ---
+    valid_insert, f_up, f_down = ops.get_bounds(
+        state, id_fA, id_fB, list_bounds
+    )
+    for i in range(len(BLOCK_SIZES)):
+        for slot, (upstream, f_cut) in enumerate(
+            [(1, f_up[i]), (0, f_down[i])]
+        ):
+            mut_idx = 2 * i + slot
+            extracted = ops.extract_block(
+                state, id_fA, f_cut, upstream, max_id
+            )
+            states.append(
+                ops.insert_block(
+                    extracted,
+                    state,
+                    id_fA,
+                    id_fB,
+                    f_cut,
+                    upstream,
+                    valid_insert[mut_idx],
+                )
+            )
+
+    stacked = stack_states(states)
+
+    # --- validity mask (kernel extract_uniq_mutations :4492) ---
+    l_cont_a = state.l_cont[id_fA]
+    l_cont_b = state.l_cont[id_fB]
+    fe = jnp.asarray(flip_eject, dtype=bool)
+    valid = jnp.concatenate(
+        [
+            jnp.stack([fe, fe, jnp.asarray(True), jnp.asarray(True)]),
+            jnp.repeat(l_cont_b > 1, 4),
+            jnp.repeat(l_cont_a > 1, 4),
+            valid_insert != -1,
+        ]
+    )
+    return stacked, valid
+
+
+def renumber_contigs(state: FragState) -> tuple[FragState, jnp.ndarray, jnp.ndarray]:
+    """Compact contig ids to 0..n_contigs-1, longest contig highest.
+
+    Mirrors the live renumbering of reference modify_gl_cuda_buffer
+    (cuda_lib_gl_single.py:2715-2881 + gl_update_pos kernel :4657):
+    contigs are sorted by fragment count descending (ties by old id
+    ascending, deterministically — the reference's tie order is atomics-
+    dependent) and new id = n_contigs - 1 - rank.
+
+    Returns (renumbered state, n_contigs, mean contig length in frags).
+    """
+    n = state.n_frags
+    m = n + 8  # id head-room during mutation chains
+    counts = jnp.bincount(state.id_c, length=m)
+    present = counts > 0
+    n_contigs = present.sum()
+    key = jnp.where(present, -counts, m + 1)
+    order = jnp.argsort(key, stable=True)  # rank -> old id
+    rank_of = jnp.zeros(m, dtype=jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+    new_id_c = (n_contigs - 1).astype(jnp.int32) - rank_of[state.id_c]
+    mean_len = counts.sum() / n_contigs
+    return state._replace(id_c=new_id_c), n_contigs, mean_len

@@ -8,12 +8,16 @@ Set INSTAGRAAL_TPU_REAL_DEVICE=1 to run the suite on the real backend.
 import os
 
 if not os.environ.get("INSTAGRAAL_TPU_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # this environment pre-sets jax_platforms to "axon,cpu" (TPU wins),
+    # so the env var alone is not enough — force via the config API.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
