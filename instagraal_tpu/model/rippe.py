@@ -1,0 +1,90 @@
+"""Rippe et al. 2001 polymer contact model.
+
+Expected Hi-C contact count at genomic distance s (kb)::
+
+    n(s) = fact * 0.53 * kuhn^-3 * (lm*s/kuhn)^slope
+                * exp((d-2) / ((lm*s/kuhn)^2 + d))
+
+floored at the inter-contig background v_inter, and 0 outside
+(0, d_max). Matches reference kernel_sparse_adapt.cu:153-225 with one
+fix: the reference's circular variant floors the result at p.d_max
+(kernel :219), clamping expected counts to a genomic *distance* — an
+obvious typo for p.v_inter, which we use.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class RippeParams(NamedTuple):
+    """Model parameters (reference param_simu struct, kernel :91-100)."""
+
+    kuhn: jnp.ndarray  # Kuhn segment length (nm-equivalent, kb units here)
+    lm: jnp.ndarray  # mass per unit length
+    c1: jnp.ndarray  # precomputed 0.53 * (lm/kuhn)^slope * kuhn^-3
+    slope: jnp.ndarray  # power-law exponent
+    d: jnp.ndarray  # interaction distance parameter
+    d_max: jnp.ndarray  # cis/trans crossover distance (kb)
+    fact: jnp.ndarray  # scale factor
+    v_inter: jnp.ndarray  # inter-contig (trans) expected count
+
+    @classmethod
+    def make(cls, kuhn, lm, slope, d, d_max, fact, v_inter) -> "RippeParams":
+        """Build params, deriving c1 (reference cuda_lib_gl_single.py:2206-2221)."""
+        kuhn = abs(float(kuhn))
+        lm = abs(float(lm))
+        fact = abs(float(fact))
+        c1 = float(0.53 * (lm / kuhn) ** slope * kuhn**-3)
+        return cls(
+            *[
+                jnp.float32(v)
+                for v in (kuhn, lm, c1, slope, d, d_max, fact, v_inter)
+            ]
+        )
+
+    def to_numpy(self) -> np.ndarray:
+        return np.array([float(v) for v in self], dtype=np.float32)
+
+
+def rippe_contacts(s, p: RippeParams):
+    """Expected cis contact count at distance s kb (kernel :153-163)."""
+    s_safe = jnp.where(s > 0, s, 1.0)
+    val = (
+        p.c1
+        * jnp.power(s_safe, p.slope)
+        * jnp.exp((p.d - 2.0) / (jnp.square(s_safe * p.lm / p.kuhn) + p.d))
+        * p.fact
+    )
+    result = jnp.where((s > 0.0) & (s < p.d_max), val, 0.0)
+    return jnp.maximum(result, p.v_inter)
+
+
+def rippe_contacts_circ(s, s_tot, p: RippeParams):
+    """Circular-contig variant (kernel :200-225): distance mapped to
+    n = K*s*(s_tot-s)/s_tot. Floored at v_inter (see module docstring).
+    """
+    K = p.lm / p.kuhn
+    s_tot_safe = jnp.where(s_tot > 0, s_tot, 1.0)
+    n = K * s * (s_tot_safe - s) / s_tot_safe
+    n_safe = jnp.where(n > 0, n, 1.0)
+    val = (
+        jnp.power(p.kuhn, -3.0)
+        * jnp.power(n_safe, p.slope)
+        * jnp.exp((p.d - 2.0) / (jnp.square(n_safe) + p.d))
+        * p.fact
+    )
+    result = jnp.where((s > 0.0) & (s < p.d_max), val, 0.0)
+    return jnp.maximum(result, p.v_inter)
+
+
+def expected_counts(s, s_tot, p: RippeParams):
+    """Dispatch linear/circular by s_tot (0 => linear), like the kernels."""
+    return jnp.where(
+        s_tot == 0.0,
+        rippe_contacts(s, p),
+        rippe_contacts_circ(s, s_tot, p),
+    )
