@@ -1,0 +1,259 @@
+"""Algorithm driver: the EM loop, trace outputs and the public API.
+
+Equivalent of reference instagraal.py:76-638 (`instagraal_class` /
+`run_instagraal`): wires a Simulation + Sampler, runs full_em cycles,
+writes per-cycle genome snapshots, trace files and the scaffolded FASTA.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import pickle
+
+import numpy as np
+
+from ..core.state import state_to_numpy
+from ..log import logger
+from .sampler import Sampler
+from .setup import Simulation
+
+DEFAULT_CYCLES = 100
+DEFAULT_LEVEL = 4
+DEFAULT_NEIGHBOURS = 5
+DEFAULT_COVERAGE_STDS = 1
+ID_START_SAMPLE_PARAM = 4  # burn-in cycles before nuisance sampling
+
+
+class Scaffolder:
+    """Owns the simulation + sampler and the behaviour traces."""
+
+    TRACE_NAMES = [
+        "mean_len",
+        "n_contigs",
+        "dist_init_genome",
+        "likelihood",
+        "fact",
+        "slope",
+        "d_max",
+        "d_nuc",
+        "d",
+        "success",
+    ]
+
+    def __init__(
+        self,
+        name: str,
+        folder_path,
+        fasta,
+        level: int = DEFAULT_LEVEL,
+        output_folder=None,
+        thresh_factor: float = DEFAULT_COVERAGE_STDS,
+        n_neighbours: int = DEFAULT_NEIGHBOURS,
+        seed: int | None = 0,
+        circular: bool = False,
+        size_pyramid: int | None = None,
+        sample_param: bool = True,
+    ):
+        kw = {}
+        if size_pyramid is not None:
+            kw["size_pyramid"] = size_pyramid
+        self.simulation = Simulation(
+            name,
+            folder_path,
+            fasta,
+            level,
+            output_folder=output_folder,
+            thresh_factor=thresh_factor,
+            circular=circular,
+            **kw,
+        )
+        params = self.simulation.estimate_parameters_rippe()
+        self.sampler = Sampler(
+            self.simulation, params, n_neighbours=n_neighbours, seed=seed
+        )
+        self.sampler.eval_likelihood()
+        self.sample_param = sample_param
+        self.collect: dict[str, list] = {k: [] for k in self.TRACE_NAMES}
+        self.collect_mutations: list[tuple[int, int, int]] = []
+        self.out = self.simulation.output_folder
+
+    # ------------------------------------------------------------------
+    def full_em(
+        self,
+        n_cycles: int,
+        n_neighbours: int | None = None,
+        bomb: bool = False,
+        id_start_sample_param: int = ID_START_SAMPLE_PARAM,
+        save_matrix: bool = False,
+    ) -> None:
+        """The live optimization loop (reference instagraal.py:196-289)."""
+        sampler = self.sampler
+        if bomb:
+            sampler.bomb_the_genome()
+        list_frags = np.arange(sampler.n_frags)
+        for j in range(n_cycles):
+            sampler.rng.shuffle(list_frags)
+            logger.info("cycle = %d", j)
+            for count, id_frag in enumerate(list_frags):
+                if count and count % 100 == 0:
+                    logger.info(
+                        "cycle %d: %.0f%% processed",
+                        j,
+                        100.0 * count / len(list_frags),
+                    )
+                o, dist, op, id_fB, mean_len, n_contigs = (
+                    sampler.step_sampler(int(id_frag), n_neighbours)
+                )
+                self.collect["likelihood"].append(o)
+                self.collect["n_contigs"].append(n_contigs)
+                self.collect["mean_len"].append(mean_len)
+                self.collect["dist_init_genome"].append(dist)
+                self.collect_mutations.append((int(id_frag), id_fB, op))
+                if self.sample_param and j > id_start_sample_param:
+                    fact, d, d_max, d_nuc, slope, ll, success = (
+                        sampler.step_nuisance_parameters()
+                    )
+                    self.collect["fact"].append(fact)
+                    self.collect["d"].append(d)
+                    self.collect["d_max"].append(d_max)
+                    self.collect["d_nuc"].append(d_nuc)
+                    self.collect["slope"].append(slope)
+                    self.collect["success"].append(success)
+            self._write_cycle_outputs(j, save_matrix)
+        self.save_behaviour_to_txt()
+
+    def _write_cycle_outputs(self, j: int, save_matrix: bool) -> None:
+        s = state_to_numpy(self.sampler.state)
+        snap = self.out / f"save_simu_step_{j}.txt"
+        try:
+            with open(snap, "w") as fh:
+                for pos, start_bp, id_c, ori in zip(
+                    s["pos"], s["start_bp"], s["id_c"], s["ori"]
+                ):
+                    fh.write(f"{pos}\t{start_bp}\t{id_c}\t{ori}\n")
+            self.simulation.export_new_fasta(self.sampler.state)
+            self.save_behaviour_to_txt()
+        except OSError as e:
+            logger.warning("could not write outputs at cycle %d: %s", j, e)
+        if save_matrix:
+            try:
+                self.display_current_matrix(
+                    self.out / f"matrix_cycle_{j}.png"
+                )
+            except OSError as e:
+                logger.warning("could not write matrix at %d: %s", j, e)
+
+    def save_behaviour_to_txt(self) -> None:
+        """Write the list_*.txt traces (reference instagraal.py:291-330)."""
+        for name in self.TRACE_NAMES:
+            with open(self.out / f"list_{name}.txt", "w") as fh:
+                for item in self.collect[name]:
+                    fh.write(f"{item}\n")
+        with open(self.out / "list_mutations.txt", "w") as fh:
+            fh.write("id_fA\tid_fB\tid_mutation\n")
+            for a, b, m in self.collect_mutations:
+                fh.write(f"{a}\t{b}\t{m}\n")
+
+    def display_current_matrix(self, filename) -> None:
+        """Render the contact map reordered by the current genome
+        (reference cuda_lib_gl_single.py:2555-2606), sparse-safe."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import scipy.sparse as sp
+
+        s = state_to_numpy(self.sampler.state)
+        order = []
+        frag_of_sub = np.asarray(self.simulation.sub_index.frag_of_sub)
+        for cid in np.unique(s["id_c"]):
+            members = np.flatnonzero(s["id_c"] == cid)
+            if not (s["activ"][members] == 1).all():
+                continue
+            for f in members[np.argsort(s["pos"][members])]:
+                subs = np.flatnonzero(frag_of_sub == s["id_d"][f])
+                if s["ori"][f] == -1:
+                    subs = subs[::-1]
+                order.extend(subs.tolist())
+        order = np.array(order)
+        sub_csr = self.simulation.sub_level.sparse_mat_csr
+        sym = (sub_csr + sub_csr.T).tocsr()
+        mat = sym[order, :][:, order].toarray()
+        fig, ax = plt.subplots(figsize=(14, 14))
+        vmax = np.percentile(mat, 99) if mat.size else 1
+        ax.imshow(mat, vmax=max(vmax, 1), interpolation="nearest")
+        ax.axis("off")
+        fig.savefig(filename, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+
+    def save_pickle(self, path="graal.pkl") -> None:
+        data = {
+            "state": state_to_numpy(self.sampler.state),
+            "params": self.sampler.params.to_numpy(),
+            "collect": self.collect,
+            "mutations": self.collect_mutations,
+        }
+        with open(path, "wb") as fh:
+            pickle.dump(data, fh)
+
+
+def run_instagraal(
+    hic_folder,
+    reference_fa,
+    output_folder=None,
+    level: int = DEFAULT_LEVEL,
+    cycles: int = DEFAULT_CYCLES,
+    coverage_std: float = DEFAULT_COVERAGE_STDS,
+    neighborhood: int = DEFAULT_NEIGHBOURS,
+    device: int = 0,
+    circular: bool = False,
+    bomb: bool = False,
+    pyramid_only: bool = False,
+    save_pickle: bool = False,
+    save_matrix: bool = False,
+    simple: bool = False,
+    seed: int | None = 0,
+) -> None:
+    """Run the scaffolding pipeline (reference instagraal.py:502-638).
+
+    `device` and `simple` are accepted for CLI compatibility; device
+    selection is handled by JAX and the reference's --simple mode calls
+    sampler methods that never existed (dead code, SURVEY.md §7.3).
+    """
+    name = os.path.basename(os.path.normpath(str(hic_folder)))
+    if pyramid_only:
+        from ..pyramid import build_and_filter
+
+        out_root = pathlib.Path(output_folder or "results")
+        build_and_filter(
+            hic_folder,
+            thresh_factor=coverage_std,
+            output_folder=out_root,
+        )
+        return
+
+    scaf = Scaffolder(
+        name,
+        hic_folder,
+        reference_fa,
+        level=level,
+        output_folder=output_folder,
+        thresh_factor=coverage_std,
+        n_neighbours=neighborhood,
+        seed=seed,
+        circular=circular,
+    )
+    scaf.full_em(
+        n_cycles=cycles,
+        n_neighbours=neighborhood,
+        bomb=bomb,
+        save_matrix=save_matrix,
+    )
+
+    from ..stats import print_assembly_stats
+
+    print_assembly_stats(scaf.simulation.new_fasta, label="Scaffolded assembly")
+    if save_pickle:
+        scaf.save_pickle()
+    return scaf

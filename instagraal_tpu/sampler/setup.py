@@ -1,0 +1,296 @@
+"""Simulation setup: pyramid levels -> device arrays for the sampler.
+
+Equivalent of reference simu_single.py:27-739 (`simulation`): loads the
+scaffolding level L and scoring sub-level L-1, builds the sub-fragment
+index (create_sub_frags), the no-repeat upper-triangular contact COO, the
+neighbour jumping distributions and the initial model parameters.
+
+Repeat (duplicated fragment) handling follows the reference's live
+behaviour: candidate duplication is computed but forced empty
+(reference simu_single.py:513 `candidates_dup = []`), so the dispatcher/
+collector indirection reduces to identity and is omitted from the device
+path. `select_repeated_frags` is still provided for inspection.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..core.state import FragState, state_from_soa
+from ..log import logger
+from ..model.fit import estimate_max_dist_intra, estimate_param_rippe
+from ..model.likelihood import SubIndex
+from ..model.rippe import RippeParams
+from ..pyramid import PYRAMID_FACTOR, PYRAMID_SIZE, build_and_filter
+
+
+def select_repeated_frags(level) -> np.ndarray:
+    """Coverage-outlier fragments (> mean + 3*std), candidate repeats.
+
+    Mirrors reference simu_single.py:459-537 — note the reference forces
+    the result to [] before use; we return the detected candidates for
+    observability but the sampler does not duplicate them either.
+    """
+    cov = np.array(level.sparse_mat_csr.sum(axis=0))[0]
+    cov = cov + np.array(level.sparse_mat_csr.transpose().sum(axis=0))[0]
+    thresh = cov.mean() + 3 * cov.std()
+    return np.flatnonzero(cov > thresh)
+
+
+def build_sub_index(level, sub_level) -> tuple[SubIndex, np.ndarray]:
+    """Sub-fragment index: owning frag, watson/crick midpoint offsets.
+
+    Vectorized create_sub_frags (reference simu_single.py:674-723). For
+    each level-L fragment, its level-(L-1) sub-fragments get kb offsets
+    w_d (cumulative length before + half own) and c_d (cumulative length
+    after + half own). Returns (SubIndex, per-sub length kb array).
+    """
+    frags = level._frag_table
+    sub_len_bp = sub_level.S_o_A_frags["len_bp"].astype(np.float64) / 1000.0
+    n_sub = len(sub_len_bp)
+
+    if "sub_frag_start" in frags.columns:
+        lo = frags["sub_frag_start"].to_numpy() - 1  # 0-based
+        hi = frags["sub_frag_end"].to_numpy() - 1
+    else:
+        lo = np.arange(len(frags))
+        hi = lo
+    frag_of_sub = np.zeros(n_sub, dtype=np.int32)
+    j_of_sub = np.zeros(n_sub, dtype=np.int32)
+    w_dist = np.zeros(n_sub, dtype=np.float32)
+    c_dist = np.zeros(n_sub, dtype=np.float32)
+    for f, (a, b) in enumerate(zip(lo, hi)):
+        lens = sub_len_bp[a : b + 1]
+        cum = np.cumsum(lens)
+        before = cum - lens
+        after = cum[-1] - cum
+        frag_of_sub[a : b + 1] = f
+        j_of_sub[a : b + 1] = np.arange(b - a + 1)
+        w_dist[a : b + 1] = before + lens / 2.0
+        c_dist[a : b + 1] = after + lens / 2.0
+    idx = SubIndex(
+        frag_of_sub=jnp.asarray(frag_of_sub),
+        w_dist=jnp.asarray(w_dist),
+        c_dist=jnp.asarray(c_dist),
+        j_of_sub=jnp.asarray(j_of_sub),
+    )
+    return idx, sub_len_bp
+
+
+def neighbour_distributions(level) -> list[dict]:
+    """Per-fragment jumping distribution from the level-L contact counts.
+
+    Mirrors setup_distri_frags (reference cuda_lib_gl_single.py:3053-3101):
+    candidate insertion sites are sampled proportionally to raw contact
+    counts (self-contacts removed).
+    """
+    sym = (level.sparse_mat_csr + level.sparse_mat_csr.T).tocsr()
+    out = []
+    for i in range(level.n_frags):
+        s0, s1 = sym.indptr[i], sym.indptr[i + 1]
+        xk = sym.indices[s0:s1]
+        vk = sym.data[s0:s1].astype(np.float64)
+        hetero = xk != i
+        xk, vk = xk[hetero], vk[hetero]
+        if vk.sum() > 0:
+            out.append({"xk": xk, "pk": vk / vk.sum()})
+        else:
+            out.append({"xk": None, "pk": None})
+    return out
+
+
+class Simulation:
+    """Build everything the sampler needs from a Hi-C folder."""
+
+    def __init__(
+        self,
+        name: str,
+        folder_path,
+        fasta,
+        level: int,
+        output_folder=None,
+        thresh_factor: float = 1.0,
+        size_pyramid: int = PYRAMID_SIZE,
+        factor: int = PYRAMID_FACTOR,
+        circular: bool = False,
+    ):
+        self.name = name
+        self.fasta = fasta
+        self.level_id = level
+        out_root = pathlib.Path(
+            output_folder if output_folder is not None else "results"
+        )
+        out_root.mkdir(parents=True, exist_ok=True)
+        self.pyramid = build_and_filter(
+            folder_path,
+            size_pyramid,
+            factor,
+            thresh_factor=thresh_factor,
+            output_folder=out_root,
+        )
+        self.output_folder = out_root / name / f"test_mcmc_{level}"
+        self.output_folder.mkdir(parents=True, exist_ok=True)
+        self.new_fasta = self.output_folder / "genome.fasta"
+        self.info_frags = self.output_folder / "info_frags.txt"
+
+        self.level = self.pyramid.get_level(level)
+        self.level.build_seq_per_bin(fasta)
+        self.sub_level = self.pyramid.get_level(level - 1)
+        self.n_frags = self.level.n_frags
+        self.n_sub_frags = self.sub_level.n_frags
+
+        soa = dict(self.level.S_o_A_frags)
+        if circular:
+            soa["circ"] = soa["circ"] + 1  # reference instagraal.py:569-570
+        self.state: FragState = state_from_soa(soa)
+
+        self.sub_index, self.sub_len_kb = build_sub_index(
+            self.level, self.sub_level
+        )
+        self.mean_size_frag_kb = float(np.mean(self.sub_len_kb))
+        self.mean_squared_frags_per_bin = float(
+            np.mean(self.sub_level.S_o_A_frags["n_accu"]) ** 2
+        )
+
+        # no-repeat upper-triangular COO of the sub-level matrix
+        # (reference cuda_lib_gl_single.py:551-646 with empty repeat set)
+        sub_csr = self.sub_level.sparse_mat_csr
+        sym = (sub_csr + sub_csr.T).tocoo()
+        triu = sp.triu(sym, k=1, format="coo")
+        self.coo_rows = jnp.asarray(triu.row.astype(np.int32))
+        self.coo_cols = jnp.asarray(triu.col.astype(np.int32))
+        self.coo_data = jnp.asarray(triu.data.astype(np.float32))
+        self.nnz = int(triu.nnz)
+        self.n_pix_total = float(
+            self.n_sub_frags * (self.n_sub_frags - 1) / 2.0
+        )
+
+        self.mean_value_trans = float(self.sub_level.mean_value_trans)
+        self.distri_frags = neighbour_distributions(self.level)
+        self.candidates_dup = select_repeated_frags(self.level)
+        logger.info(
+            "simulation: %d frags, %d sub-frags, %d nnz",
+            self.n_frags,
+            self.n_sub_frags,
+            self.nnz,
+        )
+
+    # ------------------------------------------------------------------
+    def estimate_parameters_rippe(
+        self, display_graph: bool = False, sample_frac: float = 0.1
+    ) -> RippeParams:
+        """Fit the contact model on binned cis contacts vs distance.
+
+        Mirrors reference cuda_lib_gl_single.py:2239-2372: bin contacts of
+        a sample of sub-fragments by initial-genome distance, fit the
+        Rippe curve in log space, then lower the trans level tenfold and
+        solve the cis/trans crossover.
+        """
+        id_start = np.flatnonzero(
+            np.asarray(self.state.start_bp) == 0
+        )
+        max_dist_kb = float(
+            np.asarray(self.state.l_cont_bp)[id_start].max() / 1000.0
+        )
+        size_bin_kb = self.mean_size_frag_kb / 2.0
+        logger.info(
+            "parameter estimation: max_dist=%.1fkb bin=%.2fkb",
+            max_dist_kb,
+            size_bin_kb,
+        )
+
+        bins = np.arange(size_bin_kb, max_dist_kb + size_bin_kb, size_bin_kb)
+        sums = np.zeros(len(bins), dtype=np.float64)
+        counts = np.zeros(len(bins), dtype=np.int64)
+
+        frag_of_sub = np.asarray(self.sub_index.frag_of_sub)
+        w = np.asarray(self.sub_index.w_dist, dtype=np.float64)
+        start_bp = np.asarray(self.state.start_bp, dtype=np.float64)
+        id_c = np.asarray(self.state.id_c)
+        l_cont_bp = np.asarray(self.state.l_cont_bp, dtype=np.float64)
+        s_kb = start_bp[frag_of_sub] / 1000.0 + w
+
+        sub_csr = (
+            self.sub_level.sparse_mat_csr + self.sub_level.sparse_mat_csr.T
+        ).tocsr()
+        n_sample = max(1, int(self.n_sub_frags * sample_frac))
+        sampled = 0
+        for i in range(n_sample):
+            fi = frag_of_sub[i]
+            if l_cont_bp[fi] / 1000.0 <= size_bin_kb:
+                continue
+            sampled += 1
+            s0, s1 = sub_csr.indptr[i], sub_csr.indptr[i + 1]
+            js = sub_csr.indices[s0:s1]
+            vals = sub_csr.data[s0:s1].astype(np.float64)
+            same = id_c[frag_of_sub[js]] == id_c[fi]
+            d = np.abs(s_kb[js[same]] - s_kb[i])
+            v = vals[same]
+            ok = d < max_dist_kb
+            b = (d[ok] / size_bin_kb).astype(np.int64)
+            np.add.at(sums, np.clip(b, 0, len(bins) - 1), v[ok])
+            counts += 1  # every bin observed once per sampled fragment
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_contacts = sums / np.maximum(counts, 1)
+        mean_contacts = mean_contacts + self.mean_value_trans
+        valid = counts > 0
+        mean_contacts = np.where(
+            valid & (sums >= 0), mean_contacts, np.nan
+        )
+        keep = ~np.isnan(mean_contacts) & (mean_contacts > 0)
+        fit_param, y_estim = estimate_param_rippe(
+            mean_contacts[keep], bins[keep]
+        )
+        logger.info("fitted rippe params = %s", fit_param)
+        self.y_estim = y_estim
+        self.fit_bins = bins[keep]
+        self.fit_values = mean_contacts[keep]
+
+        # reference: "BEWARE!!! : I will lower mean value trans"
+        self.mean_value_trans = self.mean_value_trans / 10.0
+        d_max = estimate_max_dist_intra(fit_param, self.mean_value_trans)
+        logger.info("estimated cis/trans crossover = %.1f kb", d_max)
+        kuhn, lm, slope, d, fact = fit_param
+        params = RippeParams.make(
+            kuhn=kuhn,
+            lm=lm,
+            slope=slope,
+            d=d,
+            d_max=d_max,
+            fact=fact,
+            v_inter=self.mean_value_trans,
+        )
+        if display_graph:
+            self._plot_fit()
+        return params
+
+    def _plot_fit(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        plt.loglog(self.fit_bins, self.fit_values, "-*b")
+        plt.loglog(self.fit_bins, self.y_estim, "-*r")
+        plt.xlabel("genomic distance (kb)")
+        plt.ylabel("frequency of contact")
+        plt.legend(["obs", "fit"])
+        fig.savefig(self.output_folder / "rippe_fit.pdf")
+        plt.close(fig)
+
+    def export_new_fasta(self, state: FragState) -> None:
+        from ..core.state import state_to_numpy
+
+        class _V:
+            pass
+
+        v = _V()
+        for k, arr in state_to_numpy(state).items():
+            setattr(v, k, arr)
+        self.level.generate_new_fasta(v, self.new_fasta, self.info_frags)

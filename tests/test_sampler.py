@@ -1,0 +1,153 @@
+"""End-to-end sampler tests: pyramid -> sampler -> scaffolded genome.
+
+Runs the minimum end-to-end slice (SURVEY.md §7.2) on the toy assembly:
+pre output -> pyramid -> level-2 MCMC for a couple of cycles ->
+genome.fasta + info_frags.txt, with scaffold-quality assertions against
+the toy genome's known ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from instagraal_tpu.io.fasta import read_fasta
+
+
+@pytest.fixture(scope="session")
+def scaffolder(toy_pre, tmp_path_factory):
+    from instagraal_tpu.sampler import Scaffolder
+
+    out = tmp_path_factory.mktemp("scaffold")
+    scaf = Scaffolder(
+        "toy",
+        toy_pre["dir"],
+        toy_pre["fasta"],
+        level=2,
+        output_folder=out,
+        seed=0,
+        size_pyramid=4,
+    )
+    return scaf
+
+
+class TestSetup:
+    def test_parameters_estimated(self, scaffolder):
+        p = scaffolder.sampler.params
+        assert float(p.fact) > 0
+        assert float(p.slope) < 0
+        assert float(p.d_max) > 0
+        assert float(p.v_inter) > 0
+
+    def test_initial_likelihood_finite(self, scaffolder):
+        ll = scaffolder.sampler.eval_likelihood()
+        assert np.isfinite(ll)
+
+    def test_initial_beats_bombed(self, scaffolder):
+        """The intact assembly must score higher than an exploded one."""
+        import jax
+
+        from instagraal_tpu.core import ops
+        import jax.numpy as jnp
+
+        s = scaffolder.sampler
+        ll0 = s.eval_likelihood()
+        order = np.random.default_rng(0).permutation(s.n_frags).astype(
+            np.int32
+        )
+        bombed = ops.explode_genome(s.state, jnp.asarray(order))
+        ll_bomb = float(s._ll(bombed, s.params))
+        assert ll0 > ll_bomb
+
+
+class TestStep:
+    def test_step_improves_or_keeps(self, scaffolder):
+        s = scaffolder.sampler
+        ll0 = s.eval_likelihood()
+        o, dist, op, id_fB, mean_len, n_contigs = s.step_sampler(0)
+        assert np.isfinite(o)
+        assert 0 <= op < 24
+        assert 0.0 <= dist <= 1.5
+        assert n_contigs >= 1
+
+    def test_nuisance_step(self, scaffolder):
+        s = scaffolder.sampler
+        s.eval_likelihood()
+        fact, d, d_max, d_nuc, slope, ll, success = (
+            s.step_nuisance_parameters()
+        )
+        assert np.isfinite(ll)
+        assert success in (0, 1)
+
+
+class TestFullEm:
+    def test_two_cycles_rebuild_genome(self, scaffolder, toy_pre):
+        """Bomb then scaffold for 3 cycles; contiguity must recover."""
+        scaf = scaffolder
+        n_frags = scaf.sampler.n_frags
+        scaf.full_em(n_cycles=3, bomb=True)
+
+        # outputs exist
+        out = scaf.out
+        assert (out / "genome.fasta").exists()
+        assert (out / "info_frags.txt").exists()
+        for name in ("likelihood", "n_contigs", "mean_len"):
+            trace = (out / f"list_{name}.txt").read_text().splitlines()
+            assert len(trace) == 3 * n_frags
+        muts = (out / "list_mutations.txt").read_text().splitlines()
+        assert len(muts) == 3 * n_frags + 1
+        for j in range(3):
+            snap = (out / f"save_simu_step_{j}.txt").read_text().splitlines()
+            assert len(snap) == n_frags
+
+        # contiguity recovered: fewer contigs than fragments after bombing
+        n_contigs = scaf.sampler.n_contigs
+        assert n_contigs < n_frags / 2
+
+        # likelihood increased over the run
+        lls = np.loadtxt(out / "list_likelihood.txt")
+        assert lls[-1] > lls[0]
+
+        # FASTA is valid and covers most of the assembly
+        records = read_fasta(out / "genome.fasta")
+        assert all(h.startswith("3C-assembly-contig_") for h in records)
+        total = sum(len(s) for s in records.values())
+        source = read_fasta(toy_pre["fasta"])
+        source_total = sum(len(s) for s in source.values())
+        assert total > 0.5 * source_total
+
+        # info_frags structure
+        info = (out / "info_frags.txt").read_text().splitlines()
+        assert info[0].startswith(">3C-assembly|contig_")
+        assert info[1].split("\t") == [
+            "init_contig", "id_frag", "orientation", "start", "end",
+        ]
+
+    def test_scaffold_quality_vs_truth(self, scaffolder, toy_pre):
+        """After scaffolding, adjacent fragments should mostly come from
+        the same source chromosome (uses the toy genome's ground truth)."""
+        from instagraal_tpu.testing import parse_true_layout
+
+        _, layout = parse_true_layout(toy_pre["fasta"])
+        contig_chrom = {}
+        for chrom, entries in layout.items():
+            for name, _s, _e in entries:
+                contig_chrom[name] = chrom
+
+        info = (scaffolder.out / "info_frags.txt").read_text().splitlines()
+        adjacencies = 0
+        same_chrom = 0
+        prev = None
+        for line in info:
+            if line.startswith(">"):
+                prev = None
+                continue
+            parts = line.split("\t")
+            if parts[0] == "init_contig":
+                continue
+            chrom = contig_chrom.get(parts[0])
+            if prev is not None and chrom is not None:
+                adjacencies += 1
+                same_chrom += prev == chrom
+            prev = chrom
+        assert adjacencies > 0
+        # most joins should be intra-chromosomal
+        assert same_chrom / adjacencies > 0.5
