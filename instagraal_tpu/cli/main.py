@@ -1,0 +1,173 @@
+"""instagraal: the scaffolder CLI (reference cli/main.py)."""
+
+import pathlib
+
+import click
+
+from .. import __version__
+from ..log import set_level
+
+
+@click.command(context_settings={"help_option_names": ["-h", "--help"]})
+@click.version_option(__version__, "-V", "--version")
+@click.argument(
+    "hic_folder",
+    type=click.Path(exists=True, file_okay=False, path_type=pathlib.Path),
+)
+@click.argument(
+    "reference_fa",
+    type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path),
+    metavar="REFERENCE.FA",
+)
+@click.option(
+    "-o",
+    "--output-dir",
+    "output_folder",
+    default="out",
+    show_default=True,
+    type=click.Path(file_okay=False, path_type=pathlib.Path),
+    help="Directory where output files will be written.",
+)
+@click.option(
+    "-l",
+    "--level",
+    default=4,
+    show_default=True,
+    type=int,
+    help=(
+        "Level (resolution) of the contact map. Increasing level by one "
+        "means a threefold smaller resolution but also a threefold faster "
+        "computation time."
+    ),
+)
+@click.option(
+    "-n",
+    "--cycles",
+    default=100,
+    show_default=True,
+    type=int,
+    help="Number of iterations to perform for each bin.",
+)
+@click.option(
+    "-c",
+    "--coverage-std",
+    default=1.0,
+    show_default=True,
+    type=float,
+    help=(
+        "Number of standard deviations below the mean coverage below "
+        "which fragments are filtered out prior to binning."
+    ),
+)
+@click.option(
+    "-N",
+    "--neighborhood",
+    default=5,
+    show_default=True,
+    type=int,
+    help="Number of neighbors to sample for potential mutations per bin.",
+)
+@click.option(
+    "--device",
+    default=0,
+    show_default=True,
+    type=int,
+    help="Device index (accepted for compatibility; JAX manages devices).",
+)
+@click.option(
+    "-C",
+    "--circular",
+    is_flag=True,
+    default=False,
+    help="Indicates genome is circular.",
+)
+@click.option(
+    "-b",
+    "--bomb",
+    is_flag=True,
+    default=False,
+    help="Explode the genome prior to scaffolding.",
+)
+@click.option(
+    "--pyramid-only",
+    is_flag=True,
+    default=False,
+    help="Only build multi-resolution contact maps (pyramids), no scaffolding.",
+)
+@click.option(
+    "--save-pickle",
+    is_flag=True,
+    default=False,
+    help="Dump run state into a pickle for post hoc introspection.",
+)
+@click.option(
+    "--save-matrix",
+    is_flag=True,
+    default=False,
+    help="Save a preview of the contact map after each cycle.",
+)
+@click.option(
+    "--simple",
+    is_flag=True,
+    default=False,
+    help="Only perform operations at the edge of the contigs.",
+)
+@click.option(
+    "--seed",
+    default=0,
+    show_default=True,
+    type=int,
+    help="PRNG seed for reproducible runs (-1 for nondeterministic).",
+)
+@click.option("--quiet", is_flag=True, default=False, help="Warnings/errors only.")
+@click.option("--debug", is_flag=True, default=False, help="Debug output.")
+def main(
+    hic_folder,
+    reference_fa,
+    output_folder,
+    level,
+    cycles,
+    coverage_std,
+    neighborhood,
+    device,
+    circular,
+    bomb,
+    pyramid_only,
+    save_pickle,
+    save_matrix,
+    simple,
+    seed,
+    quiet,
+    debug,
+):
+    """Large genome reassembly based on Hi-C data.
+
+    HIC_FOLDER contains the output of instagraal-pre
+    (fragments_list.txt, info_contigs.txt,
+    abs_fragments_contacts_weighted.txt); REFERENCE.FA is the draft
+    assembly the Hi-C data was mapped against.
+    """
+    set_level(quiet=quiet, debug=debug)
+    from ..sampler import run_instagraal
+
+    run_instagraal(
+        hic_folder,
+        reference_fa,
+        output_folder=output_folder,
+        level=level,
+        cycles=cycles,
+        coverage_std=coverage_std,
+        neighborhood=neighborhood,
+        device=device,
+        circular=circular,
+        bomb=bomb,
+        pyramid_only=pyramid_only,
+        save_pickle=save_pickle,
+        save_matrix=save_matrix,
+        simple=simple,
+        seed=None if seed < 0 else seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
