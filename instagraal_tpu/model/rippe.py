@@ -39,9 +39,12 @@ class RippeParams(NamedTuple):
         lm = abs(float(lm))
         fact = abs(float(fact))
         c1 = float(0.53 * (lm / kuhn) ** slope * kuhn**-3)
+        # host-side numpy scalars: eager jnp scalar construction would
+        # trigger a tiny device compilation per field, which is extremely
+        # slow through a tunneled TPU backend.
         return cls(
             *[
-                jnp.float32(v)
+                np.float32(v)
                 for v in (kuhn, lm, c1, slope, d, d_max, fact, v_inter)
             ]
         )

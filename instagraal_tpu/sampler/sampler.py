@@ -58,8 +58,8 @@ class Sampler:
         # --- jitted computations (closed over the static contact data) ---
         idx = sim.sub_index
         rows, cols, data = sim.coo_rows, sim.coo_cols, sim.coo_data
-        msf = jnp.float32(sim.mean_size_frag_kb)
-        n_pix = jnp.float32(sim.n_pix_total)
+        msf = np.float32(sim.mean_size_frag_kb)
+        n_pix = np.float32(sim.n_pix_total)
 
         def _ll(state, params):
             return genome_log_likelihood(
@@ -152,7 +152,7 @@ class Sampler:
 
         state, scores, n_contigs, mean_len = self._step_score(
             self.state,
-            jnp.int32(id_frag),
+            np.int32(id_frag),
             jnp.asarray(cand_ids),
             jnp.asarray(first_mask),
             self.params,
@@ -167,12 +167,12 @@ class Sampler:
         op_sampled = int(global_id % N_MUTATIONS)
         best = float(flat[global_id])
 
-        max_id = jnp.int32(int(n_contigs) - 1)
+        max_id = np.int32(int(n_contigs) - 1)
         self.state = self._apply(
             state,
-            jnp.int32(id_frag),
-            jnp.int32(id_f_sampled),
-            jnp.int32(op_sampled),
+            np.int32(id_frag),
+            np.int32(id_f_sampled),
+            np.int32(op_sampled),
             max_id,
         )
         self.state, n_contigs2, mean_len2 = self._renumber(self.state)

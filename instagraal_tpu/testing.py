@@ -212,3 +212,99 @@ def make_toy_genome(
             for i in range(0, len(seq), 61):
                 fh.write(seq[i : i + 61] + "\n")
     return {"n_contigs": idx - 1, "n_chroms": n_chroms}
+
+
+def synthetic_problem(
+    n_frags: int = 64,
+    n_contigs: int = 4,
+    seed: int = 0,
+    frag_len: int = 10_000,
+):
+    """Build an in-memory scaffolding problem (no disk IO).
+
+    Returns a dict with a FragState, SubIndex, COO contact arrays drawn
+    from the Rippe model on the true arrangement, model params and
+    scoring constants. Used by __graft_entry__ and bench.py so the
+    compile checks and benchmarks do not depend on files.
+    """
+    import jax.numpy as jnp
+
+    from .core.state import FragState
+    from .model.likelihood import SubIndex
+    from .model.rippe import RippeParams
+
+    rng = np.random.default_rng(seed)
+    per = n_frags // n_contigs
+    sizes = [per] * (n_contigs - 1) + [n_frags - per * (n_contigs - 1)]
+
+    fields = {}
+    pos = np.concatenate([np.arange(s) for s in sizes])
+    id_c = np.repeat(np.arange(n_contigs), sizes)
+    start = np.concatenate([np.arange(s) for s in sizes]) * frag_len
+    starts_of = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    ids = np.arange(n_frags)
+    prev = ids - 1
+    nxt = ids + 1
+    prev[starts_of] = -1
+    nxt[starts_of + np.array(sizes) - 1] = -1
+    fields = dict(
+        pos=pos,
+        sub_pos=pos,
+        id_c=id_c,
+        start_bp=start,
+        len_bp=np.full(n_frags, frag_len),
+        sub_len=np.ones(n_frags, dtype=int),
+        circ=np.zeros(n_frags, dtype=int),
+        id=ids,
+        prev=prev,
+        next=nxt,
+        l_cont=np.repeat(sizes, sizes),
+        sub_l_cont=np.repeat(sizes, sizes),
+        l_cont_bp=np.repeat(np.array(sizes) * frag_len, sizes),
+        ori=np.ones(n_frags, dtype=int),
+        rep=np.zeros(n_frags, dtype=int),
+        activ=np.ones(n_frags, dtype=int),
+        id_d=ids,
+    )
+    state = FragState(
+        **{k: jnp.asarray(np.asarray(v, dtype=np.int32)) for k, v in fields.items()}
+    )
+    sub_index = SubIndex(
+        frag_of_sub=jnp.arange(n_frags, dtype=jnp.int32),
+        w_dist=jnp.full(n_frags, frag_len / 2000.0, dtype=jnp.float32),
+        c_dist=jnp.full(n_frags, frag_len / 2000.0, dtype=jnp.float32),
+        j_of_sub=jnp.zeros(n_frags, dtype=jnp.int32),
+    )
+    params = RippeParams.make(
+        kuhn=50.0,
+        lm=9.6,
+        slope=-1.5,
+        d=2.0,
+        d_max=min(400.0, n_frags * frag_len / 2000.0),
+        fact=2e6,
+        v_inter=0.05,
+    )
+
+    # observed counts from the model on the true arrangement
+    r, c = np.triu_indices(n_frags, k=1)
+    cis = id_c[r] == id_c[c]
+    dist_kb = np.abs(start[r] - start[c]) / 1000.0
+    base = (
+        float(params.c1)
+        * np.power(np.maximum(dist_kb, 1e-3), float(params.slope))
+        * float(params.fact)
+    )
+    lam = np.where(cis & (dist_kb < float(params.d_max)), base, 0.05)
+    counts = rng.poisson(np.maximum(lam, 0.05))
+    keep = counts > 0
+    return {
+        "state": state,
+        "sub_index": sub_index,
+        "rows": jnp.asarray(r[keep].astype(np.int32)),
+        "cols": jnp.asarray(c[keep].astype(np.int32)),
+        "data": jnp.asarray(counts[keep].astype(np.float32)),
+        "params": params,
+        "mean_size_frag_kb": frag_len / 1000.0,
+        "n_pix_total": float(n_frags * (n_frags - 1) / 2),
+        "n_frags": n_frags,
+    }
