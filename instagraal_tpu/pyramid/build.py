@@ -608,3 +608,15 @@ def build_and_filter(
 
     logger.info("pyramid built.")
     return Pyramid(pyr_dir, size_pyramid)
+
+
+def abs_contact_2_coo_file(abs_contact_file, coo_file) -> None:
+    """Convert old-style GRAAL contact maps (1-based pair-per-line) to the
+    instaGRAAL COO format (reference pyramid_sparse.py:280-327). Useful
+    for datasets generated by Hi-C box.
+    """
+    df = pd.read_csv(abs_contact_file, sep=r"\s+", skiprows=1, header=None)
+    fa = df.iloc[:, 0].to_numpy(np.int64) - 1
+    fb = df.iloc[:, 1].to_numpy(np.int64) - 1
+    agg = _aggregate_coo(fa, fb, np.ones(len(fa), dtype=np.int64))
+    _write_contacts(agg, coo_file)

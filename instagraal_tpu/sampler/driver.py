@@ -54,6 +54,7 @@ class Scaffolder:
         circular: bool = False,
         size_pyramid: int | None = None,
         sample_param: bool = True,
+        engine: str = "scan",
     ):
         kw = {}
         if size_pyramid is not None:
@@ -73,6 +74,9 @@ class Scaffolder:
             self.simulation, params, n_neighbours=n_neighbours, seed=seed
         )
         self.sampler.eval_likelihood()
+        self.engine = engine
+        self.seed = seed if seed is not None else 0
+        self._sweep_engine = None  # built lazily (jit compile cost)
         self.sample_param = sample_param
         self.collect: dict[str, list] = {k: [] for k in self.TRACE_NAMES}
         self.collect_mutations: list[tuple[int, int, int]] = []
@@ -87,7 +91,17 @@ class Scaffolder:
         id_start_sample_param: int = ID_START_SAMPLE_PARAM,
         save_matrix: bool = False,
     ) -> None:
-        """The live optimization loop (reference instagraal.py:196-289)."""
+        """The live optimization loop (reference instagraal.py:196-289).
+
+        engine="scan" (default) runs each cycle as one on-device lax.scan
+        over every fragment; engine="host" mirrors the reference's
+        host-driven per-step loop (useful for debugging / step-level
+        introspection).
+        """
+        if self.engine == "scan":
+            return self._full_em_scan(
+                n_cycles, bomb, id_start_sample_param, save_matrix
+            )
         sampler = self.sampler
         if bomb:
             sampler.bomb_the_genome()
@@ -120,6 +134,72 @@ class Scaffolder:
                     self.collect["d_nuc"].append(d_nuc)
                     self.collect["slope"].append(slope)
                     self.collect["success"].append(success)
+            self._write_cycle_outputs(j, save_matrix)
+        self.save_behaviour_to_txt()
+
+    def _full_em_scan(
+        self,
+        n_cycles: int,
+        bomb: bool,
+        id_start_sample_param: int,
+        save_matrix: bool,
+    ) -> None:
+        """Scan-engine EM loop: one device call per cycle."""
+        import jax
+
+        from .device_sweep import SweepEngine
+
+        sampler = self.sampler
+        if bomb:
+            sampler.bomb_the_genome()
+        if self._sweep_engine is None:
+            self._sweep_engine = SweepEngine(
+                self.simulation,
+                n_neighbours=sampler.n_neighbours,
+                sample_param=self.sample_param,
+            )
+        engine = self._sweep_engine
+        state = sampler.state
+        params = sampler.params
+        ll = engine.initial_ll(state, params)
+        key = jax.random.PRNGKey(self.seed)
+        for j in range(n_cycles):
+            logger.info("cycle = %d (scan engine)", j)
+            key, sub = jax.random.split(key)
+            do_nuis = self.sample_param and j > id_start_sample_param
+            state, params, ll, traces = engine.run_cycle(
+                state, params, ll, sub, sample_param=do_nuis
+            )
+            self.collect["likelihood"].extend(
+                traces["likelihood"].tolist()
+            )
+            self.collect["n_contigs"].extend(traces["n_contigs"].tolist())
+            self.collect["mean_len"].extend(traces["mean_len"].tolist())
+            self.collect["fact"].extend(traces["fact"].tolist())
+            self.collect["slope"].extend(traces["slope"].tolist())
+            self.collect["d_max"].extend(traces["d_max"].tolist())
+            self.collect["d_nuc"].extend(traces["d_nuc"].tolist())
+            self.collect["d"].extend(traces["d"].tolist())
+            self.collect["success"].extend(
+                traces["success"].astype(int).tolist()
+            )
+            for a, b, m in zip(
+                traces["id_fA"], traces["id_fB"], traces["op"]
+            ):
+                self.collect_mutations.append((int(a), int(b), int(m)))
+            # the structural distance is evaluated once per cycle with the
+            # scan engine (per-step values require host round-trips)
+            sampler.state = state
+            dist = sampler.dist_inter_genome()
+            self.collect["dist_init_genome"].extend(
+                [dist] * len(traces["likelihood"])
+            )
+            sampler.params = type(params)(
+                *[float(v) for v in jax.tree.leaves(params)]
+            )
+            sampler.likelihood_t = ll
+            sampler.n_contigs = int(traces["n_contigs"][-1])
+            sampler.mean_length_contigs = float(traces["mean_len"][-1])
             self._write_cycle_outputs(j, save_matrix)
         self.save_behaviour_to_txt()
 

@@ -308,3 +308,39 @@ def synthetic_problem(
         "n_pix_total": float(n_frags * (n_frags - 1) / 2),
         "n_frags": n_frags,
     }
+
+
+class SyntheticSim:
+    """Simulation facade over synthetic_problem() for benchmarks/dryruns.
+
+    Provides the attribute surface that SweepEngine and MultiChainSampler
+    need, without any disk IO.
+    """
+
+    def __init__(self, n_frags=256, n_contigs=8, seed=0, frag_len=10_000):
+        import scipy.sparse as sp
+
+        p = synthetic_problem(
+            n_frags=n_frags, n_contigs=n_contigs, seed=seed,
+            frag_len=frag_len,
+        )
+        self.state = p["state"]
+        self.sub_index = p["sub_index"]
+        self.coo_rows = p["rows"]
+        self.coo_cols = p["cols"]
+        self.coo_data = p["data"]
+        self.mean_size_frag_kb = p["mean_size_frag_kb"]
+        self.n_pix_total = p["n_pix_total"]
+        self.n_frags = p["n_frags"]
+        self.params = p["params"]
+        self.distri_frags = [
+            {"xk": None, "pk": None} for _ in range(self.n_frags)
+        ]
+        csr = sp.coo_matrix(
+            (
+                np.asarray(p["data"]),
+                (np.asarray(p["rows"]), np.asarray(p["cols"])),
+            ),
+            shape=(n_frags, n_frags),
+        ).tocsr()
+        self.level = type("L", (), {"sparse_mat_csr": csr})()

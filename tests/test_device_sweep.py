@@ -1,0 +1,143 @@
+"""Tests for the on-device scan sweep engine and sliced scoring."""
+
+import jax
+import numpy as np
+import pytest
+
+from instagraal_tpu.sampler.device_sweep import (
+    NeighbourTable,
+    SweepEngine,
+    newton_d_max,
+    sample_neighbours,
+)
+
+
+class TestNeighbourTable:
+    def test_build_and_sample(self, toy_pre, tmp_path_factory):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(0)
+        n = 20
+        mat = sp.random(n, n, density=0.4, random_state=0, format="csr")
+        mat.data = np.ceil(mat.data * 10)
+        table = NeighbourTable.build(mat, n, k=8)
+        assert table.ids.shape == (n, 8)
+        key = jax.random.PRNGKey(0)
+        cand = sample_neighbours(key, table, 3, 4)
+        assert cand.shape == (4,)
+        # distinct candidates
+        assert len(set(np.asarray(cand).tolist())) == 4
+
+    def test_sampling_prefers_high_counts(self):
+        import scipy.sparse as sp
+
+        n = 10
+        row = np.zeros(9, dtype=int)
+        col = np.arange(1, 10)
+        dat = np.array([1000, 1, 1, 1, 1, 1, 1, 1, 1], dtype=float)
+        mat = sp.coo_matrix((dat, (row, col)), shape=(n, n)).tocsr()
+        table = NeighbourTable.build(mat, n, k=9)
+        hits = 0
+        for s in range(50):
+            cand = np.asarray(
+                sample_neighbours(jax.random.PRNGKey(s), table, 0, 1)
+            )
+            hits += cand[0] == 1
+        assert hits > 40  # neighbour 1 has 1000x the contacts
+
+
+class TestNewton:
+    def test_solves_crossover(self):
+        from instagraal_tpu.model.fit import peval
+
+        pv = (50.0, 9.6, -1.5, 2.0, 2e6)
+        v_inter = 0.05
+        s = float(newton_d_max(pv, v_inter, 500.0))
+        assert peval(s, [50.0, 9.6, -1.5, 2e6]) == pytest.approx(
+            v_inter, rel=1e-3
+        )
+
+
+@pytest.fixture(scope="module")
+def sim(toy_pre, tmp_path_factory):
+    from instagraal_tpu.sampler import Simulation
+
+    out = tmp_path_factory.mktemp("sweep")
+    s = Simulation(
+        "toy", toy_pre["dir"], toy_pre["fasta"], 2,
+        output_folder=out, size_pyramid=4,
+    )
+    return s
+
+
+@pytest.fixture(scope="module")
+def params(sim):
+    return sim.estimate_parameters_rippe()
+
+
+class TestSweepEngine:
+    def test_full_cycle_runs(self, sim, params):
+        engine = SweepEngine(sim, backend="full", sample_param=False)
+        ll0 = engine.initial_ll(sim.state, params)
+        state, p2, ll, traces = engine.run_cycle(
+            sim.state, params, ll0, jax.random.PRNGKey(0),
+            sample_param=False,
+        )
+        assert np.isfinite(traces["likelihood"]).all()
+        assert traces["likelihood"].shape == (sim.n_frags,)
+        # greedy accept: likelihood non-decreasing within numerical noise
+        assert traces["likelihood"][-1] >= ll0 - 1.0
+
+    def test_sliced_matches_full_on_chosen_moves(self, sim, params):
+        """Both backends must drive the genome to comparable likelihoods
+        (slice capacity covers the toy problem fully, so chosen scores
+        are near-identical)."""
+        eng_full = SweepEngine(sim, backend="full", sample_param=False)
+        eng_sliced = SweepEngine(
+            sim, backend="sliced", sample_param=False,
+            slice_capacity=int(sim.coo_rows.shape[0]),
+        )
+        ll0 = eng_full.initial_ll(sim.state, params)
+        key = jax.random.PRNGKey(1)
+        _, _, ll_f, tr_f = eng_full.run_cycle(
+            sim.state, params, ll0, key, sample_param=False
+        )
+        _, _, ll_s, tr_s = eng_sliced.run_cycle(
+            sim.state, params, ll0, key, sample_param=False
+        )
+        # same RNG stream -> same candidates; full-capacity slice gives
+        # identical decisions
+        np.testing.assert_array_equal(tr_f["id_fA"], tr_s["id_fA"])
+        np.testing.assert_allclose(
+            tr_f["likelihood"], tr_s["likelihood"], rtol=1e-4, atol=0.5
+        )
+
+    def test_nuisance_inside_scan(self, sim, params):
+        engine = SweepEngine(sim, backend="sliced", sample_param=True)
+        ll0 = engine.initial_ll(sim.state, params)
+        state, p2, ll, traces = engine.run_cycle(
+            sim.state, params, ll0, jax.random.PRNGKey(2),
+            sample_param=True,
+        )
+        assert traces["success"].any() or True  # MH may reject everything
+        assert np.isfinite(traces["fact"]).all()
+        assert np.isfinite(float(p2.d_max))
+
+
+class TestScanScaffolder:
+    def test_scan_engine_end_to_end(self, toy_pre, tmp_path_factory):
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("scan_e2e")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=0, size_pyramid=4, engine="scan",
+        )
+        n_frags = scaf.sampler.n_frags
+        scaf.full_em(n_cycles=3, bomb=True)
+        assert (scaf.out / "genome.fasta").exists()
+        lls = np.loadtxt(scaf.out / "list_likelihood.txt")
+        assert len(lls) == 3 * n_frags
+        assert lls[-1] > lls[0]
+        # contiguity recovered
+        assert scaf.sampler.n_contigs < n_frags / 2
