@@ -18,13 +18,17 @@ vs_baseline = measured steps/s / 100.
 """
 
 import json
+import os
+import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
 REFERENCE_STEPS_PER_SEC = 100.0
-N_FRAGS = 1024
-N_CYCLES = 3
+N_FRAGS = 512
+N_CYCLES = 2
 
 
 def main():
@@ -42,12 +46,14 @@ def main():
     ll = engine.initial_ll(state, params)
     key = jax.random.PRNGKey(0)
 
+    print("bench: compiling cycle...", file=sys.stderr, flush=True)
     # compile + warmup (one cycle)
     key, sub = jax.random.split(key)
     state, params, ll, _ = engine.run_cycle(
         state, params, ll, sub, sample_param=True
     )
 
+    print("bench: timing...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(N_CYCLES):
         key, sub = jax.random.split(key)

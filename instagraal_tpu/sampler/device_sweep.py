@@ -366,10 +366,14 @@ class SweepEngine:
             return (state, params, ll_t), trace
 
         self._run_cycle = run_cycle
-        self._msf = msf
-        self._n_pix = n_pix
-        self._idx = idx
-        self._coo = (rows, cols, data)
+
+        @jax.jit
+        def _initial_ll(state, params):
+            sub = project_to_sub(state, idx)
+            pp = _per_pixel(sub, rows, cols, data, params, msf)
+            return jnp.sum(pp) + zeros_log_likelihood(sub, params, msf, n_pix)
+
+        self._initial_ll = _initial_ll
 
     # ------------------------------------------------------------------
     def run_cycle(
@@ -393,12 +397,4 @@ class SweepEngine:
         return state, params, float(ll), traces
 
     def initial_ll(self, state: FragState, params: RippeParams) -> float:
-        sub = project_to_sub(state, self._idx)
-        rows, cols, data = self._coo
-        pp = _per_pixel(sub, rows, cols, data, jax.tree.map(jnp.asarray, params), self._msf)
-        return float(
-            jnp.sum(pp)
-            + zeros_log_likelihood(
-                sub, jax.tree.map(jnp.asarray, params), self._msf, self._n_pix
-            )
-        )
+        return float(self._initial_ll(state, params))
