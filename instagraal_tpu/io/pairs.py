@@ -86,6 +86,61 @@ class FragmentIndex:
         return out
 
 
+def _pairs_to_pixels_native(pairs_path, bins, cols):
+    """One-pass C++ scan (instagraal_tpu/native/pairs_scan.cpp).
+
+    Returns None when the native library is unavailable or the pixel
+    count exceeds the preallocated capacity."""
+    import ctypes
+
+    from ..native import load_pairs_scan
+
+    fn = load_pairs_scan()
+    if fn is None:
+        return None
+    chrom_names = list(dict.fromkeys(bins["chrom"]))
+    blob = b"".join(c.encode() + b"\0" for c in chrom_names)
+    starts_per = np.array(
+        [int((bins["chrom"] == c).sum()) for c in chrom_names],
+        dtype=np.int64,
+    )
+    starts = np.ascontiguousarray(bins["start"].to_numpy(dtype=np.int64))
+    n = int(starts_per.sum())
+    capacity = max(1, min(n * (n + 1) // 2, 200_000_000))
+    out_keys = np.empty(capacity, dtype=np.int64)
+    out_counts = np.empty(capacity, dtype=np.int64)
+    total = ctypes.c_int64(0)
+    as_p = lambda a: a.ctypes.data_as(  # noqa: E731
+        ctypes.POINTER(ctypes.c_int64)
+    )
+    got = fn(
+        str(pairs_path).encode(),
+        blob,
+        np.int32(len(chrom_names)),
+        as_p(starts),
+        as_p(starts_per),
+        np.int32(cols["chr1"]),
+        np.int32(cols["pos1"]),
+        np.int32(cols["chr2"]),
+        np.int32(cols["pos2"]),
+        as_p(out_keys),
+        as_p(out_counts),
+        np.int64(capacity),
+        ctypes.byref(total),
+    )
+    if got < 0:
+        return None
+    keys = out_keys[:got]
+    pixels = pd.DataFrame(
+        {
+            "bin1_id": (keys // n).astype(np.int32),
+            "bin2_id": (keys % n).astype(np.int32),
+            "count": out_counts[:got].astype(np.int32),
+        }
+    )
+    return pixels, int(total.value)
+
+
 def pairs_to_pixels(
     pairs_path: str | pathlib.Path,
     bins: pd.DataFrame,
@@ -95,9 +150,13 @@ def pairs_to_pixels(
 
     Returns (pixels DataFrame with bin1_id/bin2_id/count sorted by
     (bin1_id, bin2_id), total number of valid pairs) — same output
-    contract as reference pre.py:135-236.
+    contract as reference pre.py:135-236. Uses the C++ scanner when
+    available, falling back to chunked pandas.
     """
     _, cols = read_pairs_header(pairs_path)
+    native = _pairs_to_pixels_native(pairs_path, bins, cols)
+    if native is not None:
+        return native
     index = FragmentIndex(bins)
     n = index.n_frags
     usecols = sorted({cols["chr1"], cols["pos1"], cols["chr2"], cols["pos2"]})
