@@ -119,6 +119,12 @@ from ..log import set_level
     type=int,
     help="PRNG seed for reproducible runs (-1 for nondeterministic).",
 )
+@click.option(
+    "--resume",
+    is_flag=True,
+    default=False,
+    help="Continue from the checkpoint in the output folder.",
+)
 @click.option("--quiet", is_flag=True, default=False, help="Warnings/errors only.")
 @click.option("--debug", is_flag=True, default=False, help="Debug output.")
 def main(
@@ -137,6 +143,7 @@ def main(
     save_matrix,
     simple,
     seed,
+    resume,
     quiet,
     debug,
 ):
@@ -166,6 +173,7 @@ def main(
         save_matrix=save_matrix,
         simple=simple,
         seed=None if seed < 0 else seed,
+        resume=resume,
     )
 
 

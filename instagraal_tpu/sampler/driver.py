@@ -90,17 +90,19 @@ class Scaffolder:
         bomb: bool = False,
         id_start_sample_param: int = ID_START_SAMPLE_PARAM,
         save_matrix: bool = False,
+        resume: bool = False,
     ) -> None:
         """The live optimization loop (reference instagraal.py:196-289).
 
         engine="scan" (default) runs each cycle as one on-device lax.scan
         over every fragment; engine="host" mirrors the reference's
         host-driven per-step loop (useful for debugging / step-level
-        introspection).
+        introspection). resume=True continues from <out>/checkpoint.pkl.
         """
         if self.engine == "scan":
             return self._full_em_scan(
-                n_cycles, bomb, id_start_sample_param, save_matrix
+                n_cycles, bomb, id_start_sample_param, save_matrix,
+                resume=resume,
             )
         sampler = self.sampler
         if bomb:
@@ -143,13 +145,32 @@ class Scaffolder:
         bomb: bool,
         id_start_sample_param: int,
         save_matrix: bool,
+        resume: bool = False,
     ) -> None:
-        """Scan-engine EM loop: one device call per cycle."""
+        """Scan-engine EM loop: one device call per cycle, checkpointed."""
         import jax
 
+        from . import checkpoint as ckpt
         from .device_sweep import SweepEngine
 
         sampler = self.sampler
+        ckpt_path = self.out / ckpt.CHECKPOINT_NAME
+        start_cycle = 0
+        if resume and ckpt_path.exists():
+            payload = ckpt.load_checkpoint(ckpt_path)
+            sampler.state = payload["state"]
+            sampler.params = payload["params"]
+            sampler.rng = ckpt.restore_rng(payload["rng_state"])
+            self.collect = payload["collect"]
+            self.collect_mutations = payload["mutations"]
+            start_cycle = payload["cycle"]
+            key = jax.numpy.asarray(payload["prng_key"])
+            ll_restored = payload["likelihood"]
+            logger.info("resumed from checkpoint at cycle %d", start_cycle)
+            bomb = False
+        else:
+            key = jax.random.PRNGKey(self.seed)
+            ll_restored = None
         if bomb:
             sampler.bomb_the_genome()
         if self._sweep_engine is None:
@@ -161,9 +182,12 @@ class Scaffolder:
         engine = self._sweep_engine
         state = sampler.state
         params = sampler.params
-        ll = engine.initial_ll(state, params)
-        key = jax.random.PRNGKey(self.seed)
-        for j in range(n_cycles):
+        ll = (
+            ll_restored
+            if ll_restored is not None
+            else engine.initial_ll(state, params)
+        )
+        for j in range(start_cycle, n_cycles):
             logger.info("cycle = %d (scan engine)", j)
             key, sub = jax.random.split(key)
             do_nuis = self.sample_param and j > id_start_sample_param
@@ -201,7 +225,38 @@ class Scaffolder:
             sampler.n_contigs = int(traces["n_contigs"][-1])
             sampler.mean_length_contigs = float(traces["mean_len"][-1])
             self._write_cycle_outputs(j, save_matrix)
+            ckpt.save_checkpoint(
+                ckpt_path,
+                state,
+                sampler.params,
+                j + 1,
+                sampler.rng,
+                key,
+                self.collect,
+                self.collect_mutations,
+                ll,
+            )
         self.save_behaviour_to_txt()
+
+    def replay_mutations(self, mutations_file) -> None:
+        """Re-apply a recorded list_mutations.txt onto the current state
+        (equivalent of the reference's apply_replay_simu helper,
+        cuda_lib_gl_single.py:2546-2553)."""
+        import numpy as _np
+
+        data = _np.loadtxt(mutations_file, skiprows=1, dtype=_np.int64)
+        if data.ndim == 1:
+            data = data[None, :]
+        sampler = self.sampler
+        for id_fA, id_fB, op in data:
+            state, n_contigs, _ = sampler._renumber(sampler.state)
+            sampler.state = sampler._apply(
+                state,
+                np.int32(id_fA),
+                np.int32(id_fB),
+                np.int32(op),
+                np.int32(int(n_contigs) - 1),
+            )
 
     def _write_cycle_outputs(self, j: int, save_matrix: bool) -> None:
         s = state_to_numpy(self.sampler.state)
@@ -294,6 +349,7 @@ def run_instagraal(
     save_matrix: bool = False,
     simple: bool = False,
     seed: int | None = 0,
+    resume: bool = False,
 ) -> None:
     """Run the scaffolding pipeline (reference instagraal.py:502-638).
 
@@ -329,6 +385,7 @@ def run_instagraal(
         n_neighbours=neighborhood,
         bomb=bomb,
         save_matrix=save_matrix,
+        resume=resume,
     )
 
     from ..stats import print_assembly_stats

@@ -141,3 +141,53 @@ class TestScanScaffolder:
         assert lls[-1] > lls[0]
         # contiguity recovered
         assert scaf.sampler.n_contigs < n_frags / 2
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, sim, params, tmp_path):
+        import numpy as np
+
+        from instagraal_tpu.sampler import checkpoint as ckpt
+
+        rng = np.random.default_rng(42)
+        rng.random(10)  # advance
+        import jax
+
+        key = jax.random.PRNGKey(7)
+        path = tmp_path / "c.pkl"
+        collect = {"likelihood": [1.0, 2.0]}
+        ckpt.save_checkpoint(
+            path, sim.state, params, 3, rng, key, collect,
+            [(1, 2, 3)], -123.0,
+        )
+        payload = ckpt.load_checkpoint(path)
+        assert payload["cycle"] == 3
+        assert payload["likelihood"] == -123.0
+        np.testing.assert_array_equal(
+            np.asarray(payload["state"].pos), np.asarray(sim.state.pos)
+        )
+        rng2 = ckpt.restore_rng(payload["rng_state"])
+        assert rng2.random() == rng.random()
+
+    def test_resume_continues(self, toy_pre, tmp_path_factory):
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("resume")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=3, size_pyramid=4, engine="scan",
+        )
+        n = scaf.sampler.n_frags
+        scaf.full_em(n_cycles=1, bomb=True)
+        assert (scaf.out / "checkpoint.pkl").exists()
+        ll_after_1 = scaf.sampler.likelihood_t
+
+        # new driver instance resumes and runs cycle 2 only
+        scaf2 = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=3, size_pyramid=4, engine="scan",
+        )
+        scaf2.full_em(n_cycles=2, bomb=True, resume=True)
+        lls = np.loadtxt(scaf2.out / "list_likelihood.txt")
+        assert len(lls) == 2 * n  # cycle 1 traces restored + cycle 2
+        assert scaf2.sampler.likelihood_t >= ll_after_1 - 1.0
