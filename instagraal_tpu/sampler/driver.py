@@ -322,6 +322,41 @@ class Scaffolder:
         fig.savefig(filename, dpi=100, bbox_inches="tight")
         plt.close(fig)
 
+    def plot_behaviour(self) -> None:
+        """Write the behaviour_*.pdf trace plots (reference
+        simu_single.py:741-778 plot_info_simu + instagraal.py:369-407)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ll = np.asarray(self.collect["likelihood"], dtype=float)
+        panels = [
+            ("n_contigs", "n_contigs"),
+            ("mean_len", "mean length contigs"),
+            ("dist_init_genome", "distance from init genome"),
+            ("slope", "slope"),
+            ("fact", "scale factor"),
+            ("d_nuc", "val trans"),
+            ("d_max", "max intra distance"),
+        ]
+        for name, title in panels:
+            series = np.asarray(self.collect[name], dtype=float)
+            if series.size == 0:
+                continue
+            fig = plt.figure(figsize=(10, 6), dpi=100)
+            ax1 = fig.add_subplot(111)
+            n = min(len(ll), len(series))
+            lo = 1000 if n > 1000 else 0
+            ax1.plot(ll[lo:n], "r-")
+            ax1.set_xlabel("iterations")
+            ax1.set_ylabel("likelihood", color="r")
+            ax2 = ax1.twinx()
+            ax2.plot(series[lo:n], "b-")
+            ax2.set_ylabel(title, color="b")
+            fig.savefig(self.out / f"behaviour_{name}.pdf")
+            plt.close(fig)
+
     def save_pickle(self, path="graal.pkl") -> None:
         data = {
             "state": state_to_numpy(self.sampler.state),
@@ -391,6 +426,10 @@ def run_instagraal(
     from ..stats import print_assembly_stats
 
     print_assembly_stats(scaf.simulation.new_fasta, label="Scaffolded assembly")
+    try:
+        scaf.plot_behaviour()
+    except Exception as e:  # plots are best-effort
+        logger.warning("behaviour plots failed: %s", e)
     if save_pickle:
         scaf.save_pickle()
     return scaf

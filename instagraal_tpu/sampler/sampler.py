@@ -48,7 +48,9 @@ class Sampler:
         self.init_next = np.asarray(sim.state.next).copy()
         self.init_ori = np.ones(self.n_frags, dtype=np.int32)
         self.orientable = np.asarray(sim.state.sub_len) > 1
-        self.blacklist: set[int] = set()
+        self.blacklist: set[int] = set(
+            getattr(sim, "frag_blacklisted", set())
+        )
 
         self.n_contigs = int(
             np.unique(np.asarray(sim.state.id_c)).shape[0]

@@ -172,12 +172,27 @@ class Simulation:
         self.mean_value_trans = float(self.sub_level.mean_value_trans)
         self.distri_frags = neighbour_distributions(self.level)
         self.candidates_dup = select_repeated_frags(self.level)
+        self.frag_blacklisted: set[int] = set()
         logger.info(
             "simulation: %d frags, %d sub-frags, %d nnz",
             self.n_frags,
             self.n_sub_frags,
             self.nnz,
         )
+
+    # ------------------------------------------------------------------
+    def blacklist_contigs(self, contig_ids: list[int]) -> set[int]:
+        """Exclude whole contigs from sampling (reference
+        simu_single.py:177-204 blacklist_contig — there an interactive
+        prompt with an empty default; here an explicit API). Returns the
+        blacklisted fragment ids.
+        """
+        id_c = np.asarray(self.state.id_c)
+        out: set[int] = set()
+        for cid in contig_ids:
+            out.update(np.flatnonzero(id_c == cid).tolist())
+        self.frag_blacklisted = out
+        return out
 
     # ------------------------------------------------------------------
     def estimate_parameters_rippe(
