@@ -6,17 +6,24 @@ order, neighbour sampling, candidate generation, scoring, accept, and
 the nuisance-parameter MH — runs inside a single jitted lax.scan, so a
 cycle of n_frags steps is one device call.
 
-Two scoring backends:
+Performance design (see docs/DESIGN.md):
 
-- "full": every candidate mutation is scored with a complete nnz sweep
-  (exact; O(n_cand * 24 * nnz) per step).
-- "sliced": the reference's slice trick (kernel slice_sp_mat :485,
-  eval_all_scores :4029) rebuilt TPU-style: per candidate, the pixels
-  touching the two affected contigs are compacted into a fixed-capacity
-  index buffer (jnp.nonzero with static size) and only those pixels are
-  re-scored for the 24 mutations; score = current nnz total + masked
-  delta + analytic zeros. Same-contig moves use the reference's
-  windowing around the two fragments. O(n_cand * (nnz + 24 * capacity)).
+- Sub-fragment geometry is packed into one [n_sub, 8] f32 matrix
+  (lanes: pos_bp, id_c, s_tot, pos, l_cont) so per-pixel gathers fetch
+  one contiguous 32-byte row instead of five scattered scalars.
+- The per-pixel score vector pp_cur[nnz] of the *current* genome is
+  carried through the scan and updated incrementally: after an accepted
+  move, only the pixels touching the two affected contigs are re-scored
+  (exact — no windowing on the update path), with an in-graph fallback
+  to a full recompute if the update slice overflows its capacity.
+  Accepted nuisance moves reuse the full-sweep scores their own MH
+  evaluation already produced.
+- Candidate scoring uses the reference's slice trick (slice_sp_mat
+  kernel :485): per candidate, pixels touching the affected contigs are
+  compacted with jnp.nonzero(size=cap) and only those are re-scored for
+  the 24 mutations; same-contig moves use the reference's windowing.
+  score = nz_total - nz_slice_cur + nz_slice_mut + zeros_mut
+  (eval_all_scores, kernel :4029).
 
 Neighbour sampling uses a per-fragment top-K contact table with Gumbel
 top-k sampling (device-side analogue of the reference's host
@@ -27,7 +34,6 @@ solve of rippe(s) = v_inter.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -36,14 +42,10 @@ import numpy as np
 
 from ..core.moves import N_MUTATIONS, all_candidate_states, renumber_contigs
 from ..core.state import FragState
-from ..model.likelihood import (
-    LOG10_E,
-    SubIndex,
-    log10_poisson,
-    project_to_sub,
-    zeros_log_likelihood,
-)
+from ..model.likelihood import LOG10_E, log10_poisson
 from ..model.rippe import RippeParams, expected_counts
+
+PACK = 8  # packed attribute row width (5 used lanes, padded to 8)
 
 
 class NeighbourTable(NamedTuple):
@@ -64,8 +66,8 @@ class NeighbourTable(NamedTuple):
             hetero = xk != i
             xk, vk = xk[hetero], vk[hetero]
             if len(xk) == 0:
-                # no contacts: uniform over everything (reference
-                # cuda_lib_gl_single.py:3124 falls back to uniform)
+                # no contacts: uniform fallback (reference
+                # cuda_lib_gl_single.py:3124)
                 take = np.random.default_rng(i).choice(
                     n_frags, size=min(k, n_frags), replace=False
                 )
@@ -114,19 +116,69 @@ def newton_d_max(params_vec, v_inter, s_init, n_iter: int = 12):
     return jax.lax.fori_loop(0, n_iter, body, s0)
 
 
-def _per_pixel(sub, rows, cols, data, p, msf):
-    """Per-pixel scoring terms (vectorized evaluate_likelihood_sparse)."""
-    cis = sub.id_c[rows] == sub.id_c[cols]
-    s = jnp.abs(sub.pos_bp[rows] - sub.pos_bp[cols])
-    s_z = jnp.abs(sub.pos[rows] - sub.pos[cols]).astype(jnp.float32) * msf
-    circ = sub.s_tot[rows] > 0
-    s_tot = jnp.where(circ, sub.s_tot[rows], 0.0)
-    s_tot_z = jnp.where(
-        circ, sub.l_cont[rows].astype(jnp.float32) * msf, 0.0
+def project_packed(state: FragState, idx) -> jnp.ndarray:
+    """Pack the sub-fragment geometry into one [n_sub, PACK] f32 matrix.
+
+    Lanes: 0 pos_bp(kb), 1 contig id, 2 circular s_tot(kb), 3 position
+    in sub units, 4 contig length in sub units. Functionally equivalent
+    to project_to_sub (uni_fill_vect_dist, kernel :3763) but laid out
+    for one-row-per-gather access.
+    """
+    f = idx.frag_of_sub
+    ori = state.ori[f]
+    d = jnp.where(ori == 1, idx.w_dist, idx.c_dist)
+    pos = jnp.where(
+        ori == 1,
+        state.sub_pos[f] + idx.j_of_sub,
+        state.sub_pos[f] + (state.sub_len[f] - 1) - idx.j_of_sub,
     )
+    n_sub = f.shape[0]
+    out = jnp.zeros((n_sub, PACK), dtype=jnp.float32)
+    out = out.at[:, 0].set(
+        state.start_bp[f].astype(jnp.float32) / 1000.0 + d
+    )
+    out = out.at[:, 1].set(state.id_c[f].astype(jnp.float32))
+    out = out.at[:, 2].set(
+        state.circ[f].astype(jnp.float32)
+        * state.l_cont_bp[f].astype(jnp.float32)
+        / 1000.0
+    )
+    out = out.at[:, 3].set(pos.astype(jnp.float32))
+    out = out.at[:, 4].set(state.sub_l_cont[f].astype(jnp.float32))
+    return out
+
+
+def pp_from_attrs(ra, ca, data, p: RippeParams, msf):
+    """Per-pixel scoring term from packed attribute rows.
+
+    ra/ca: [..., PACK] row/col attributes; data: [...] observed counts.
+    Same math as evaluate_likelihood_sparse (kernel :4374).
+    """
+    cis = ra[..., 1] == ca[..., 1]
+    s = jnp.abs(ra[..., 0] - ca[..., 0])
+    s_z = jnp.abs(ra[..., 3] - ca[..., 3]) * msf
+    circ = ra[..., 2] > 0
+    s_tot = jnp.where(circ, ra[..., 2], 0.0)
+    s_tot_z = jnp.where(circ, ra[..., 4] * msf, 0.0)
     ex = jnp.where(cis, expected_counts(s, s_tot, p), p.v_inter)
     ex_z = jnp.where(cis, expected_counts(s_z, s_tot_z, p), p.v_inter)
     return log10_poisson(ex, data) + ex_z * LOG10_E
+
+
+def zeros_from_packed(packed, p: RippeParams, msf, n_pix_total):
+    """Analytic zeros term from packed attributes (kernel :3850)."""
+    pos = packed[:, 3]
+    l_cont = packed[:, 4]
+    circ = packed[:, 2] > 0
+    s = pos * msf
+    s_tot_z = jnp.where(circ, l_cont * msf, 0.0)
+    ex = expected_counts(s, s_tot_z, p)
+    intra = jnp.sum(jnp.where(pos > 0, -ex * (l_cont - pos), 0.0))
+    n_intra = jnp.sum(
+        jnp.where(pos == 0, l_cont * (l_cont - 1.0) / 2.0, 0.0)
+    )
+    inter = (n_pix_total - n_intra) * (-p.v_inter)
+    return LOG10_E * (intra + inter)
 
 
 class SweepEngine:
@@ -148,8 +200,9 @@ class SweepEngine:
         self.n_frags = sim.n_frags
         nnz = int(sim.coo_rows.shape[0])
         if slice_capacity is None:
-            slice_capacity = int(min(nnz, max(4096, nnz // 4)))
+            slice_capacity = int(min(nnz, max(4096, nnz // 8)))
         self.slice_capacity = slice_capacity
+        self.update_capacity = int(min(nnz, 2 * slice_capacity))
         self.table = NeighbourTable.build(
             sim.level.sparse_mat_csr, sim.n_frags, k=neighbour_k
         )
@@ -161,57 +214,69 @@ class SweepEngine:
         n_pix = np.float32(sim.n_pix_total)
         n_cand = n_neighbours
         cap = self.slice_capacity
-        # max_bounds_insert: window half-width for same-contig slices
+        cap_upd = self.update_capacity
+        # max_bounds_insert window half-width for same-contig slices
         # (reference cuda_lib_gl_single.py:417-421)
         mean_sub_len = float(np.mean(np.asarray(sim.state.sub_len)))
         n_bounds = int(50 * round(mean_sub_len + 1))
 
-        def full_scores(state, sub_cur, pp_cur, ll_nz_cur, id_fA, cand, first,
-                        max_id, params):
+        def _pp_all(packed, params):
+            ra = packed[rows]
+            ca = packed[cols]
+            return pp_from_attrs(ra, ca, data, params, msf)
+
+        # --- scoring backends ---------------------------------------
+        def full_scores(
+            state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
+            id_fA, cand, first, max_id, params,
+        ):
             def score_one(args):
                 id_fB, is_first = args
                 stacked, valid = all_candidate_states(
                     state, id_fA, id_fB, max_id, flip_eject=is_first
                 )
-                sub24 = jax.vmap(lambda s: project_to_sub(s, idx))(stacked)
+                packed24 = jax.vmap(
+                    lambda s: project_packed(s, idx)
+                )(stacked)
                 nz = jax.vmap(
-                    lambda sb: jnp.sum(_per_pixel(sb, rows, cols, data, params, msf))
-                )(sub24)
+                    lambda pk: jnp.sum(_pp_all(pk, params))
+                )(packed24)
                 z = jax.vmap(
-                    lambda sb: zeros_log_likelihood(sb, params, msf, n_pix)
-                )(sub24)
+                    lambda pk: zeros_from_packed(pk, params, msf, n_pix)
+                )(packed24)
                 return jnp.where(valid, nz + z, -jnp.inf)
 
             return jax.lax.map(score_one, (cand, first))
 
-        def sliced_scores(state, sub_cur, pp_cur, ll_nz_cur, id_fA, cand,
-                          first, max_id, params):
-            cA = state.id_c[id_fA]
-            row_c = sub_cur.id_c[rows]
-            col_c = sub_cur.id_c[cols]
+        def sliced_scores(
+            state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
+            id_fA, cand, first, max_id, params,
+        ):
+            cA = state.id_c[id_fA].astype(jnp.float32)
+            row_c = row_attr[:, 1]
+            col_c = col_attr[:, 1]
+            row_p = row_attr[:, 3]
+            col_p = col_attr[:, 3]
 
             def score_one(args):
                 id_fB, is_first = args
-                cB = state.id_c[id_fB]
+                cB = state.id_c[id_fB].astype(jnp.float32)
                 touch = (
                     (row_c == cA) | (row_c == cB)
                     | (col_c == cA) | (col_c == cB)
                 )
-                # same-contig windowing around A and B (reference
-                # slice_sp_mat :536-585)
+                # same-contig windowing (reference slice_sp_mat :536-585)
                 same = cA == cB
-                pa = state.sub_pos[id_fA]
-                la = state.sub_len[id_fA]
-                pb = state.sub_pos[id_fB]
-                lb = state.sub_len[id_fB]
-                lo_a = jnp.maximum(0, pa - n_bounds - la)
+                pa = state.sub_pos[id_fA].astype(jnp.float32)
+                la = state.sub_len[id_fA].astype(jnp.float32)
+                pb = state.sub_pos[id_fB].astype(jnp.float32)
+                lb = state.sub_len[id_fB].astype(jnp.float32)
+                lo_a = jnp.maximum(0.0, pa - n_bounds - la)
                 hi_a = pa + n_bounds + la
-                lo_b = jnp.maximum(0, pb - lb)
+                lo_b = jnp.maximum(0.0, pb - lb)
                 hi_b = pb + lb
-                rp = sub_cur.pos[rows]
-                cp = sub_cur.pos[cols]
-                px = jnp.minimum(rp, cp)
-                py = jnp.maximum(rp, cp)
+                px = jnp.minimum(row_p, col_p)
+                py = jnp.maximum(row_p, col_p)
                 in_win = ((px <= hi_a) & (py >= lo_a)) | (
                     (px <= hi_b) & (py >= lo_b)
                 )
@@ -228,16 +293,22 @@ class SweepEngine:
                 stacked, valid = all_candidate_states(
                     state, id_fA, id_fB, max_id, flip_eject=is_first
                 )
-                sub24 = jax.vmap(lambda s: project_to_sub(s, idx))(stacked)
-                nz_slice = jax.vmap(
-                    lambda sb: jnp.sum(
-                        _per_pixel(sb, sl_rows, sl_cols, sl_data, params, msf)
-                        * w
-                    )
-                )(sub24)
+                packed24 = jax.vmap(
+                    lambda s: project_packed(s, idx)
+                )(stacked)
+                # transpose to [n_sub, 24, PACK]: one pixel fetch becomes
+                # one contiguous 24*PACK-float row instead of 24 strided
+                # gathers (gathers dominate this workload; docs/DESIGN.md)
+                packed_t = jnp.transpose(packed24, (1, 0, 2))
+                ra = packed_t[sl_rows]  # [cap, 24, PACK]
+                ca = packed_t[sl_cols]
+                pp24 = pp_from_attrs(
+                    ra, ca, sl_data[:, None], params, msf
+                )  # [cap, 24]
+                nz_slice = jnp.sum(pp24 * w[:, None], axis=0)
                 z = jax.vmap(
-                    lambda sb: zeros_log_likelihood(sb, params, msf, n_pix)
-                )(sub24)
+                    lambda pk: zeros_from_packed(pk, params, msf, n_pix)
+                )(packed24)
                 scores = ll_nz_cur - cur_slice + nz_slice + z
                 return jnp.where(valid, scores, -jnp.inf)
 
@@ -245,9 +316,41 @@ class SweepEngine:
 
         score_fn = sliced_scores if backend == "sliced" else full_scores
 
-        def nuisance_step(key, state, params, ll_t):
-            """Device-side MH over the model parameters (reference
-            cuda_lib_gl_single.py:2961-3051)."""
+        # --- exact incremental pp_cur update after an accepted move --
+        def update_pp(
+            new_state, row_attr, col_attr, cA, cB, pp_cur, ll_nz_cur,
+            params,
+        ):
+            """Re-score exactly the pixels whose endpoints lived in the
+            affected contigs (old labels), with full-recompute fallback
+            when the update slice overflows."""
+            touch = (
+                (row_attr[:, 1] == cA) | (row_attr[:, 1] == cB)
+                | (col_attr[:, 1] == cA) | (col_attr[:, 1] == cB)
+            )
+            (upd_idx,) = jnp.nonzero(touch, size=cap_upd, fill_value=0)
+            n_upd = jnp.sum(touch)
+            w = (jnp.arange(cap_upd) < n_upd).astype(jnp.float32)
+            new_packed = project_packed(new_state, idx)
+            ra = new_packed[rows[upd_idx]]
+            ca = new_packed[cols[upd_idx]]
+            pp_new = pp_from_attrs(ra, ca, data[upd_idx], params, msf)
+            old_vals = pp_cur[upd_idx]
+            merged = jnp.where(w > 0, pp_new, old_vals)
+            pp_fast = pp_cur.at[upd_idx].set(merged)
+            ll_fast = ll_nz_cur + jnp.sum((pp_new - old_vals) * w)
+
+            def recompute(_):
+                pp = _pp_all(new_packed, params)
+                return pp, jnp.sum(pp)
+
+            def keep(_):
+                return pp_fast, ll_fast
+
+            return jax.lax.cond(n_upd > cap_upd, recompute, keep, None)
+
+        # --- nuisance MH (reference cuda_lib_gl_single.py:2961) ------
+        def nuisance_step(key, state, packed, params, ll_t, pp_cur, ll_nz):
             kuhn, lm, c1, slope, d, d_max, fact, d_nuc = params
             k_mod, k_prop, k_acc = jax.random.split(key, 3)
             id_modif = jax.random.randint(k_mod, (), 0, 4)
@@ -274,9 +377,7 @@ class SweepEngine:
                 * jnp.power(kuhn, -3.0)
                 * new_fact
                 * jnp.power(s_safe, new_slope)
-                * jnp.exp(
-                    (d - 2.0) / (jnp.square(s_safe * lm / kuhn) + d)
-                )
+                * jnp.exp((d - 2.0) / (jnp.square(s_safe * lm / kuhn) + d))
             )
             new_d_nuc = jnp.where(id_modif == 2, curve, new_d_nuc)
             new_c1 = (
@@ -286,67 +387,74 @@ class SweepEngine:
                 kuhn, lm, new_c1, new_slope, d, new_d_max, new_fact,
                 new_d_nuc,
             )
-            sub = project_to_sub(state, idx)
-            ll_test = jnp.sum(
-                _per_pixel(sub, rows, cols, data, test, msf)
-            ) + zeros_log_likelihood(sub, test, msf, n_pix)
+            pp_test = _pp_all(packed, test)
+            nz_test = jnp.sum(pp_test)
+            ll_test = nz_test + zeros_from_packed(packed, test, msf, n_pix)
             accept = jnp.exp(
                 jnp.clip(ll_test - ll_t, -50.0, 50.0)
             ) >= jax.random.uniform(k_acc, ())
-            out = jax.tree.map(
+            out_params = jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), test, params
             )
-            return out, jnp.where(accept, ll_test, ll_t), accept
-
-        @jax.jit
-        def run_cycle(state, params, ll_t, key, sample_param_on):
-            k_perm, k_steps = jax.random.split(key)
-            order = jax.random.permutation(
-                k_perm, self.n_frags
-            ).astype(jnp.int32)
-            keys = jax.random.split(k_steps, self.n_frags)
-            (state, params, ll_t), traces = jax.lax.scan(
-                partial_sweep, (state, params, ll_t), (order, keys,
-                                                       sample_param_on)
+            out_pp = jnp.where(accept, pp_test, pp_cur)
+            out_nz = jnp.where(accept, nz_test, ll_nz)
+            return (
+                out_params,
+                jnp.where(accept, ll_test, ll_t),
+                out_pp,
+                out_nz,
+                accept,
             )
-            return state, params, ll_t, traces
 
-        def partial_sweep(carry, inputs):
+        # --- one sweep step ------------------------------------------
+        def sweep_step(carry, inputs):
             id_fA, key, do_nuis = inputs
-            state, params, ll_t = carry
-
-            # identical to sweep_step but nuisance gated by do_nuis
+            state, params, ll_t, pp_cur, ll_nz_cur = carry
             k_nb, k_nuis = jax.random.split(key)
+
             state, n_contigs, mean_len = renumber_contigs(state)
             max_id = (n_contigs - 1).astype(jnp.int32)
+            packed_cur = project_packed(state, idx)
+            row_attr = packed_cur[rows]
+            col_attr = packed_cur[cols]
+
             cand = jnp.sort(
                 sample_neighbours(k_nb, self.table, id_fA, n_cand)
             )
             first = jnp.arange(n_cand) == 0
-            sub_cur = project_to_sub(state, idx)
-            pp_cur = _per_pixel(sub_cur, rows, cols, data, params, msf)
-            ll_nz_cur = jnp.sum(pp_cur)
             scores = score_fn(
-                state, sub_cur, pp_cur, ll_nz_cur, id_fA, cand, first,
-                max_id, params,
+                state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
+                id_fA, cand, first, max_id, params,
             )
             flat = scores.reshape(-1)
             best = jnp.argmax(flat)
             id_fB = cand[best // N_MUTATIONS]
             op = best % N_MUTATIONS
+
+            cA = state.id_c[id_fA].astype(jnp.float32)
+            cB = state.id_c[id_fB].astype(jnp.float32)
             stacked, _ = all_candidate_states(
                 state, id_fA, id_fB, max_id, flip_eject=True
             )
-            state = jax.tree.map(lambda a: a[op], stacked)
+            new_state = jax.tree.map(lambda a: a[op], stacked)
             ll_t = flat[best]
 
-            new_params, new_ll, accepted = nuisance_step(
-                k_nuis, state, params, ll_t
+            pp_cur, ll_nz_cur = update_pp(
+                new_state, row_attr, col_attr, cA, cB, pp_cur, ll_nz_cur,
+                params,
+            )
+
+            new_packed = project_packed(new_state, idx)
+            n_params, n_ll, n_pp, n_nz, accepted = nuisance_step(
+                k_nuis, new_state, new_packed, params, ll_t, pp_cur,
+                ll_nz_cur,
             )
             params = jax.tree.map(
-                lambda a, b: jnp.where(do_nuis, a, b), new_params, params
+                lambda a, b: jnp.where(do_nuis, a, b), n_params, params
             )
-            ll_t = jnp.where(do_nuis, new_ll, ll_t)
+            ll_t = jnp.where(do_nuis, n_ll, ll_t)
+            pp_cur = jnp.where(do_nuis, n_pp, pp_cur)
+            ll_nz_cur = jnp.where(do_nuis, n_nz, ll_nz_cur)
             accepted = accepted & do_nuis
 
             trace = {
@@ -363,15 +471,34 @@ class SweepEngine:
                 "d": params.d,
                 "success": accepted,
             }
-            return (state, params, ll_t), trace
+            return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
+
+        @jax.jit
+        def run_cycle(state, params, ll_t, key, sample_param_on):
+            k_perm, k_steps = jax.random.split(key)
+            order = jax.random.permutation(
+                k_perm, self.n_frags
+            ).astype(jnp.int32)
+            keys = jax.random.split(k_steps, self.n_frags)
+            # fresh per-pixel cache each cycle (bounds incremental drift)
+            packed0 = project_packed(state, idx)
+            pp0 = _pp_all(packed0, params)
+            nz0 = jnp.sum(pp0)
+            (state, params, ll_t, _, _), traces = jax.lax.scan(
+                sweep_step,
+                (state, params, ll_t, pp0, nz0),
+                (order, keys, sample_param_on),
+            )
+            return state, params, ll_t, traces
 
         self._run_cycle = run_cycle
 
         @jax.jit
         def _initial_ll(state, params):
-            sub = project_to_sub(state, idx)
-            pp = _per_pixel(sub, rows, cols, data, params, msf)
-            return jnp.sum(pp) + zeros_log_likelihood(sub, params, msf, n_pix)
+            packed = project_packed(state, idx)
+            return jnp.sum(_pp_all(packed, params)) + zeros_from_packed(
+                packed, params, msf, n_pix
+            )
 
         self._initial_ll = _initial_ll
 
