@@ -473,8 +473,7 @@ class SweepEngine:
             }
             return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
 
-        @jax.jit
-        def run_cycle(state, params, ll_t, key, sample_param_on):
+        def cycle_fn(state, params, ll_t, key, sample_param_on):
             k_perm, k_steps = jax.random.split(key)
             order = jax.random.permutation(
                 k_perm, self.n_frags
@@ -491,7 +490,8 @@ class SweepEngine:
             )
             return state, params, ll_t, traces
 
-        self._run_cycle = run_cycle
+        self._cycle_fn = cycle_fn
+        self._run_cycle = jax.jit(cycle_fn)
 
         @jax.jit
         def _initial_ll(state, params):
@@ -525,3 +525,60 @@ class SweepEngine:
 
     def initial_ll(self, state: FragState, params: RippeParams) -> float:
         return float(self._initial_ll(state, params))
+
+
+class MultiChainSweep:
+    """Independent chains, each running whole cycles on device.
+
+    vmaps the SweepEngine's cycle over a leading chain axis sharded
+    across the mesh's "chains" dimension: C chains x n_frags sweep steps
+    per device call, with no host synchronisation inside a cycle. This is
+    the v5e-8 scaling path for wall-clock-to-solution: chains explore
+    independently and the best final genome wins (SURVEY.md §2.3).
+    """
+
+    def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.engine = engine
+        self.mesh = mesh
+        self.n_chains = n_chains
+        self._sharding = (
+            NamedSharding(mesh, P("chains")) if mesh is not None else None
+        )
+        self._cycle_all = jax.jit(
+            jax.vmap(engine._cycle_fn, in_axes=(0, None, 0, 0, None))
+        )
+
+    def broadcast_state(self, state: FragState) -> FragState:
+        out = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.n_chains, *x.shape)), state
+        )
+        if self._sharding is not None:
+            out = jax.tree.map(
+                lambda x: jax.device_put(x, self._sharding), out
+            )
+        return out
+
+    def run_cycle(self, states, params, lls, key, sample_param=True):
+        """Advance every chain one full cycle.
+
+        states: FragState stacked on a leading chain axis; lls: [C].
+        Returns (states, params is shared, per-chain lls, traces [C, n]).
+        """
+        keys = jax.random.split(key, self.n_chains)
+        flags = np.full(self.engine.n_frags, bool(sample_param))
+        states, params_all, lls, traces = self._cycle_all(
+            states,
+            jax.tree.map(jnp.asarray, params),
+            jnp.asarray(lls, dtype=jnp.float32),
+            keys,
+            flags,
+        )
+        # per-chain parameters evolve independently; keep them stacked
+        traces = {k: np.asarray(v) for k, v in traces.items()}
+        return states, params_all, np.asarray(lls), traces
+
+    def best(self, states, lls):
+        c = int(np.argmax(lls))
+        return jax.tree.map(lambda a: a[c], states), float(lls[c])

@@ -212,3 +212,27 @@ class TestCheckpoint:
         lls = np.loadtxt(scaf2.out / "list_likelihood.txt")
         assert len(lls) == 2 * n  # cycle 1 traces restored + cycle 2
         assert scaf2.sampler.likelihood_t >= ll_after_1 - 1.0
+
+
+class TestMultiChainSweep:
+    def test_chains_on_mesh(self, sim, params):
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        engine = SweepEngine(sim, backend="sliced", sample_param=False)
+        mesh = make_mesh(n_devices=8, chains=4)
+        mc = MultiChainSweep(engine, mesh=mesh, n_chains=4)
+        states = mc.broadcast_state(sim.state)
+        ll0 = engine.initial_ll(sim.state, params)
+        lls = np.full(4, ll0)
+        states, p_all, lls, traces = mc.run_cycle(
+            states, params, lls, jax.random.PRNGKey(0), sample_param=False
+        )
+        assert lls.shape == (4,)
+        assert np.isfinite(lls).all()
+        assert traces["likelihood"].shape == (4, sim.n_frags)
+        # chains explored different trajectories
+        assert len(np.unique(lls)) > 1
+        best, ll = mc.best(states, lls)
+        assert ll == lls.max()
+        assert best.pos.shape == (sim.n_frags,)
