@@ -296,16 +296,10 @@ class SweepEngine:
                 packed24 = jax.vmap(
                     lambda s: project_packed(s, idx)
                 )(stacked)
-                # transpose to [n_sub, 24, PACK]: one pixel fetch becomes
-                # one contiguous 24*PACK-float row instead of 24 strided
-                # gathers (gathers dominate this workload; docs/DESIGN.md)
-                packed_t = jnp.transpose(packed24, (1, 0, 2))
-                ra = packed_t[sl_rows]  # [cap, 24, PACK]
-                ca = packed_t[sl_cols]
-                pp24 = pp_from_attrs(
-                    ra, ca, sl_data[:, None], params, msf
-                )  # [cap, 24]
-                nz_slice = jnp.sum(pp24 * w[:, None], axis=0)
+                ra = jnp.take(packed24, sl_rows, axis=1)  # [24, cap, PACK]
+                ca = jnp.take(packed24, sl_cols, axis=1)
+                pp24 = pp_from_attrs(ra, ca, sl_data[None, :], params, msf)
+                nz_slice = jnp.sum(pp24 * w[None, :], axis=1)
                 z = jax.vmap(
                     lambda pk: zeros_from_packed(pk, params, msf, n_pix)
                 )(packed24)
