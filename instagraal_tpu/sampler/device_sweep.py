@@ -192,8 +192,21 @@ class SweepEngine:
         slice_capacity: int | None = None,
         neighbour_k: int = 32,
         sample_param: bool = True,
+        mesh=None,
     ):
+        """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
+        given, candidate scoring is sharded across its devices with
+        shard_map — the candidate count is rounded up to the device
+        count, so every chip scores (at least) one candidate's 24
+        mutations per step and a v5e-8 evaluates 8+ candidates at the
+        single-candidate wall cost."""
         self.sim = sim
+        self.mesh = mesh
+        n_dev = mesh.shape["shards"] if mesh is not None else 1
+        if mesh is not None:
+            n_neighbours = max(n_neighbours, n_dev)
+            n_neighbours = -(-n_neighbours // n_dev) * n_dev
+            neighbour_k = max(neighbour_k, n_neighbours)
         self.n_neighbours = n_neighbours
         self.backend = backend
         self.sample_param = sample_param
@@ -248,18 +261,16 @@ class SweepEngine:
 
             return jax.lax.map(score_one, (cand, first))
 
-        def sliced_scores(
-            state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
-            id_fA, cand, first, max_id, params,
-        ):
+        def score_candidate_sliced(ctx, pair):
+            (state, row_attr, col_attr, pp_cur, ll_nz_cur, id_fA,
+             max_id, params) = ctx
+            id_fB, is_first = pair
             cA = state.id_c[id_fA].astype(jnp.float32)
             row_c = row_attr[:, 1]
             col_c = col_attr[:, 1]
             row_p = row_attr[:, 3]
             col_p = col_attr[:, 3]
-
-            def score_one(args):
-                id_fB, is_first = args
+            if True:
                 cB = state.id_c[id_fB].astype(jnp.float32)
                 touch = (
                     (row_c == cA) | (row_c == cB)
@@ -306,7 +317,39 @@ class SweepEngine:
                 scores = ll_nz_cur - cur_slice + nz_slice + z
                 return jnp.where(valid, scores, -jnp.inf)
 
-            return jax.lax.map(score_one, (cand, first))
+        def sliced_scores(
+            state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
+            id_fA, cand, first, max_id, params,
+        ):
+            ctx = (
+                state, row_attr, col_attr, pp_cur, ll_nz_cur, id_fA,
+                max_id, params,
+            )
+            if mesh is None:
+                return jax.lax.map(
+                    lambda pair: score_candidate_sliced(ctx, pair),
+                    (cand, first),
+                )
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            def local(c, fst, ctx_):
+                return jax.lax.map(
+                    lambda pair: score_candidate_sliced(ctx_, pair),
+                    (c, fst),
+                )
+
+            return shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P("shards"), P("shards"), P()),
+                out_specs=P("shards"),
+                check_vma=False,
+            )(cand, first, ctx)
 
         score_fn = sliced_scores if backend == "sliced" else full_scores
 

@@ -236,3 +236,43 @@ class TestMultiChainSweep:
         best, ll = mc.best(states, lls)
         assert ll == lls.max()
         assert best.pos.shape == (sim.n_frags,)
+
+
+class TestShardedCandidates:
+    def test_matches_plain_on_mesh(self):
+        """Candidate-axis shard_map scoring must equal single-device."""
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        nnz = int(ssim.coo_rows.shape[0])
+        mesh = make_mesh(n_devices=8, chains=1)
+        e_plain = SweepEngine(
+            ssim, backend="sliced", sample_param=False,
+            slice_capacity=nnz, n_neighbours=8, neighbour_k=32,
+        )
+        e_shard = SweepEngine(
+            ssim, backend="sliced", sample_param=False,
+            slice_capacity=nnz, n_neighbours=8, mesh=mesh,
+        )
+        ll0 = e_plain.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(1)
+        _, _, ll_p, tr_p = e_plain.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        _, _, ll_s, tr_s = e_shard.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        np.testing.assert_array_equal(tr_p["id_fA"], tr_s["id_fA"])
+        np.testing.assert_allclose(
+            tr_p["likelihood"], tr_s["likelihood"], rtol=1e-5, atol=0.01
+        )
+
+    def test_candidate_count_rounds_up(self):
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=24, n_contigs=3, seed=0)
+        mesh = make_mesh(n_devices=8, chains=1)
+        eng = SweepEngine(ssim, mesh=mesh, n_neighbours=5)
+        assert eng.n_neighbours == 8
