@@ -132,20 +132,22 @@ def project_packed(state: FragState, idx) -> jnp.ndarray:
         state.sub_pos[f] + idx.j_of_sub,
         state.sub_pos[f] + (state.sub_len[f] - 1) - idx.j_of_sub,
     )
-    n_sub = f.shape[0]
-    out = jnp.zeros((n_sub, PACK), dtype=jnp.float32)
-    out = out.at[:, 0].set(
-        state.start_bp[f].astype(jnp.float32) / 1000.0 + d
+    zero = jnp.zeros_like(d)
+    return jnp.stack(
+        [
+            state.start_bp[f].astype(jnp.float32) / 1000.0 + d,
+            state.id_c[f].astype(jnp.float32),
+            state.circ[f].astype(jnp.float32)
+            * state.l_cont_bp[f].astype(jnp.float32)
+            / 1000.0,
+            pos.astype(jnp.float32),
+            state.sub_l_cont[f].astype(jnp.float32),
+            zero,
+            zero,
+            zero,
+        ],
+        axis=1,
     )
-    out = out.at[:, 1].set(state.id_c[f].astype(jnp.float32))
-    out = out.at[:, 2].set(
-        state.circ[f].astype(jnp.float32)
-        * state.l_cont_bp[f].astype(jnp.float32)
-        / 1000.0
-    )
-    out = out.at[:, 3].set(pos.astype(jnp.float32))
-    out = out.at[:, 4].set(state.sub_l_cont[f].astype(jnp.float32))
-    return out
 
 
 def pp_from_attrs(ra, ca, data, p: RippeParams, msf):

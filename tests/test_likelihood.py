@@ -308,3 +308,57 @@ class TestFit:
         assert peval(d_max, [50.0, 9.6, -1.5, 2e6]) == pytest.approx(
             v_inter, rel=1e-2
         )
+
+
+class TestPackedProjection:
+    def test_packed_matches_unpacked(self):
+        """project_packed must agree with project_to_sub field by field."""
+        import jax.numpy as jnp
+
+        from instagraal_tpu.model.likelihood import project_to_sub
+        from instagraal_tpu.sampler.device_sweep import (
+            project_packed,
+            pp_from_attrs,
+            zeros_from_packed,
+        )
+        from instagraal_tpu.model.likelihood import (
+            nz_log_likelihood,
+            zeros_log_likelihood,
+        )
+        from instagraal_tpu.testing import SyntheticSim
+
+        sim = SyntheticSim(n_frags=30, n_contigs=3, seed=1)
+        sub = project_to_sub(sim.state, sim.sub_index)
+        packed = project_packed(sim.state, sim.sub_index)
+        np.testing.assert_allclose(np.asarray(packed[:, 0]), sub.pos_bp)
+        np.testing.assert_array_equal(
+            np.asarray(packed[:, 1]).astype(int), sub.id_c
+        )
+        np.testing.assert_allclose(np.asarray(packed[:, 2]), sub.s_tot)
+        np.testing.assert_array_equal(
+            np.asarray(packed[:, 3]).astype(int), sub.pos
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed[:, 4]).astype(int), sub.l_cont
+        )
+
+        msf = np.float32(sim.mean_size_frag_kb)
+        nz_a = float(
+            nz_log_likelihood(
+                sub, sim.coo_rows, sim.coo_cols, sim.coo_data,
+                sim.params, msf,
+            )
+        )
+        ra = packed[sim.coo_rows]
+        ca = packed[sim.coo_cols]
+        nz_b = float(
+            jnp.sum(pp_from_attrs(ra, ca, sim.coo_data, sim.params, msf))
+        )
+        assert nz_a == pytest.approx(nz_b, rel=1e-6)
+        z_a = float(
+            zeros_log_likelihood(sub, sim.params, msf, sim.n_pix_total)
+        )
+        z_b = float(
+            zeros_from_packed(packed, sim.params, msf, sim.n_pix_total)
+        )
+        assert z_a == pytest.approx(z_b, rel=1e-6)
