@@ -261,7 +261,10 @@ class SweepEngine:
                 )(packed24)
                 return jnp.where(valid, nz + z, -jnp.inf)
 
-            return jax.lax.map(score_one, (cand, first))
+            return (
+                jax.lax.map(score_one, (cand, first)),
+                jnp.asarray(0, dtype=jnp.int32),
+            )
 
         def score_candidate_sliced(ctx, pair):
             (state, row_attr, col_attr, pp_cur, ll_nz_cur, id_fA,
@@ -317,7 +320,7 @@ class SweepEngine:
                     lambda pk: zeros_from_packed(pk, params, msf, n_pix)
                 )(packed24)
                 scores = ll_nz_cur - cur_slice + nz_slice + z
-                return jnp.where(valid, scores, -jnp.inf)
+                return jnp.where(valid, scores, -jnp.inf), n_sel
 
         def sliced_scores(
             state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
@@ -328,10 +331,11 @@ class SweepEngine:
                 max_id, params,
             )
             if mesh is None:
-                return jax.lax.map(
+                scores, n_sel = jax.lax.map(
                     lambda pair: score_candidate_sliced(ctx, pair),
                     (cand, first),
                 )
+                return scores, jnp.sum(n_sel > cap)
             from jax.sharding import PartitionSpec as P
 
             try:
@@ -345,13 +349,14 @@ class SweepEngine:
                     (c, fst),
                 )
 
-            return shard_map(
+            scores, n_sel = shard_map(
                 local,
                 mesh=mesh,
                 in_specs=(P("shards"), P("shards"), P()),
                 out_specs=P("shards"),
                 check_vma=False,
             )(cand, first, ctx)
+            return scores, jnp.sum(n_sel > cap)
 
         score_fn = sliced_scores if backend == "sliced" else full_scores
 
@@ -461,7 +466,7 @@ class SweepEngine:
                 sample_neighbours(k_nb, self.table, id_fA, n_cand)
             )
             first = jnp.arange(n_cand) == 0
-            scores = score_fn(
+            scores, n_overflow = score_fn(
                 state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
                 id_fA, cand, first, max_id, params,
             )
@@ -509,6 +514,7 @@ class SweepEngine:
                 "d_nuc": params.v_inter,
                 "d": params.d,
                 "success": accepted,
+                "slice_overflow": n_overflow,
             }
             return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
 
