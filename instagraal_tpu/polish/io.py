@@ -7,8 +7,6 @@ dict" maps scaffold name -> list of bins, each bin being
 
 from __future__ import annotations
 
-import pathlib
-
 from ..io.fasta import read_fasta, revcomp
 
 DEFAULT_MIN_SCAFFOLD_SIZE = 0

@@ -297,7 +297,6 @@ class Scaffolder:
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        import scipy.sparse as sp
 
         s = state_to_numpy(self.sampler.state)
         order = []

@@ -11,15 +11,12 @@ decision.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.moves import N_MUTATIONS, all_candidate_states, renumber_contigs
 from ..core.state import FragState
-from ..log import logger
 from ..model.fit import estimate_max_dist_intra_nuis, peval
 from ..model.likelihood import genome_log_likelihood
 from ..model.rippe import RippeParams

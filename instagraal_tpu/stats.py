@@ -13,7 +13,6 @@ import numpy as np
 
 from .io.fasta import read_fasta
 from .io.digest import gc_content
-from .log import logger
 
 
 def compute_assembly_stats(fasta_path) -> dict:

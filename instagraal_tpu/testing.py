@@ -18,8 +18,6 @@ import re
 
 import numpy as np
 
-from .io.fasta import read_fasta
-
 _DESC_RE = re.compile(r"from_([^:]+):(\d+)-(\d+)")
 
 
