@@ -151,3 +151,35 @@ class TestFullEm:
         assert adjacencies > 0
         # most joins should be intra-chromosomal
         assert same_chrom / adjacencies > 0.5
+
+
+class TestSaveMatrix:
+    def test_matrix_png_written(self, scaffolder, tmp_path):
+        out = tmp_path / "m.png"
+        scaffolder.display_current_matrix(out)
+        data = out.read_bytes()
+        # PNG signature (reference test_instagraal_gpu.py:328-339)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_behaviour_plots(self, scaffolder):
+        scaffolder.collect["likelihood"] = [1.0, 2.0, 3.0]
+        scaffolder.collect["n_contigs"] = [5, 4, 3]
+        scaffolder.collect["mean_len"] = [1.0, 1.2, 1.5]
+        scaffolder.plot_behaviour()
+        pdf = scaffolder.out / "behaviour_n_contigs.pdf"
+        assert pdf.exists()
+        assert pdf.read_bytes()[:5] == b"%PDF-"
+
+
+class TestHicMapPlot:
+    def test_pre_hic_map_signature(self, toy_assembly, tmp_path):
+        from instagraal_tpu.pre import run_pre
+
+        out = tmp_path / "pre_plot"
+        run_pre(
+            toy_assembly["fasta"], toy_assembly["pairs"], ["DpnII"], out,
+            plot=True,
+        )
+        pngs = list(out.glob("*_hic_map.png"))
+        assert pngs
+        assert pngs[0].read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
