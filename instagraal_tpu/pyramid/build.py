@@ -221,69 +221,83 @@ def remove_problematic_fragments(
     new_contig = np.r_[True, chrom[1:] != chrom[:-1]]
     keep = ~bad
 
-    # group id: each kept fragment absorbs the dropped run before it
-    # (within its contig). Assign to every fragment the index of the next
-    # kept fragment in the same contig; trailing dropped -> destroyed (-1).
+    # each kept fragment absorbs the dropped run before it (within its
+    # contig): owner[i] = index of the next kept fragment in the same
+    # contig; trailing dropped -> destroyed (-1). Suffix-min of kept
+    # positions per contig block (vectorized per contig; the contig loop
+    # is O(n_contigs), not O(n_frags)).
     n = len(frags)
+    cstart = np.flatnonzero(new_contig)
+    cend = np.r_[cstart[1:], n]
+    sentinel = n + 1
+    kept_pos = np.where(keep, np.arange(n), sentinel)
     owner = np.full(n, -1, dtype=np.int64)
-    next_keep = -1
-    contig_of_next = None
-    for i in range(n - 1, -1, -1):
-        if new_contig[i]:
-            pass  # handled below: reset AFTER assigning i
-        if keep[i]:
-            next_keep = i
-            contig_of_next = chrom[i]
-        if next_keep >= 0 and chrom[i] == contig_of_next:
-            owner[i] = next_keep
-        if new_contig[i]:
-            next_keep = -1
-            contig_of_next = None
+    for s, e in zip(cstart, cend):
+        suffix = np.minimum.accumulate(kept_pos[s:e][::-1])[::-1]
+        owner[s:e] = np.where(suffix < sentinel, suffix, -1)
 
     kept_idx = np.flatnonzero(keep)
-    new_abs_of_kept = {int(k): j + 1 for j, k in enumerate(kept_idx)}  # 1-based
-    old_2_new = np.full(n, 0, dtype=np.int64)  # 0 => destroyed
-    valid = owner >= 0
-    old_2_new[valid] = np.array(
-        [new_abs_of_kept[int(o)] for o in owner[valid]], dtype=np.int64
-    )
+    n_kept = len(kept_idx)
+    # 1-based new abs id per kept index
+    new_abs = np.zeros(n, dtype=np.int64)
+    new_abs[kept_idx] = np.arange(1, n_kept + 1)
+    old_2_new = np.where(owner >= 0, new_abs[np.clip(owner, 0, None)], 0)
 
-    # --- build new fragment list ---
+    # --- build new fragment list (member runs are contiguous) ---
     start_pos = frags["start_pos"].to_numpy()
     end_pos = frags["end_pos"].to_numpy()
     gc = frags["gc_content"].to_numpy(dtype=np.float64)
     accu = frags["accu_frag"].to_numpy()
 
-    rows = []
-    contig_counts: dict[str, int] = {}
-    contig_len: dict[str, int] = {}
-    rel = 0
-    prev_chrom = None
-    for j, k in enumerate(kept_idx):
-        c = chrom[k]
-        if c != prev_chrom:
-            rel = 0
-            prev_chrom = c
-        rel += 1
-        members = np.flatnonzero(owner == k)
-        gsize = int(end_pos[k] - start_pos[members[0]])
-        rows.append(
-            (
-                rel,
-                c,
-                int(start_pos[members[0]]),
-                int(end_pos[k]),
-                gsize,
-                float(gc[members].mean()),
-                int(accu[members].sum()),
-                rel,
-                rel,
-            )
-        )
-        contig_counts[c] = contig_counts.get(c, 0) + 1
-        contig_len[c] = contig_len.get(c, 0) + gsize
-    out_frags = pd.DataFrame(rows, columns=FRAG_COLS_L0)
+    # group start of kept fragment k = previous kept index in the same
+    # contig + 1, else its contig's start
+    contig_start_of = np.repeat(cstart, cend - cstart)
+    prev_kept = np.r_[-1, kept_idx[:-1]]
+    same_contig_prev = (
+        contig_start_of[kept_idx]
+        == contig_start_of[np.clip(prev_kept, 0, None)]
+    ) & (prev_kept >= 0)
+    group_start = np.where(
+        same_contig_prev, prev_kept + 1, contig_start_of[kept_idx]
+    )
+
+    csum_gc = np.r_[0.0, np.cumsum(gc)]
+    csum_accu = np.r_[0, np.cumsum(accu)]
+    n_members = kept_idx - group_start + 1
+    g_gc = (csum_gc[kept_idx + 1] - csum_gc[group_start]) / n_members
+    g_accu = csum_accu[kept_idx + 1] - csum_accu[group_start]
+    g_start = start_pos[group_start]
+    g_end = end_pos[kept_idx]
+    g_size = g_end - g_start
+
+    # per-contig 1-based relative ids
+    kc = contig_start_of[kept_idx]
+    new_c = np.r_[True, kc[1:] != kc[:-1]]
+    kstart = np.flatnonzero(new_c)
+    ksizes = np.diff(np.r_[kstart, n_kept])
+    rel = np.arange(n_kept) - np.repeat(kstart, ksizes) + 1
+
+    out_frags = pd.DataFrame(
+        {
+            "id": rel,
+            "chrom": chrom[kept_idx],
+            "start_pos": g_start,
+            "end_pos": g_end,
+            "size": g_size,
+            "gc_content": g_gc,
+            "accu_frag": g_accu,
+            "frag_start": rel,
+            "frag_end": rel,
+        }
+    )
     out_frags.to_csv(new_fragments_list_file, sep="\t", index=False)
+    contig_counts = {
+        c: int(v)
+        for c, v in zip(chrom[kept_idx][kstart], ksizes)
+    }
+    contig_len = {}
+    for c in contig_counts:
+        contig_len[c] = int(g_size[chrom[kept_idx] == c].sum())
 
     # --- contig info ---
     cinfo = _read_contig_info(contig_info)
@@ -393,8 +407,9 @@ def subsample_data_set(
     g_start = start_pos[first_idx]
     g_end = end_pos[last_idx]
     g_size = g_end - g_start
-    g_gc = np.array(
-        [gc[s : e + 1].mean() for s, e in zip(first_idx, last_idx)]
+    csum_gc = np.r_[0.0, np.cumsum(gc)]
+    g_gc = (csum_gc[last_idx + 1] - csum_gc[first_idx]) / (
+        last_idx - first_idx + 1
     )
     g_init_start = init_start[first_idx]
     g_init_end = init_end[last_idx]

@@ -153,15 +153,25 @@ def simulate_pairs(
 
     out_pairs = pathlib.Path(out_pairs)
     opener = gzip.open if str(out_pairs).endswith(".gz") else open
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "readID": [f"read{i}" for i in range(len(n1))],
+            "chr1": n1,
+            "pos1": q1,
+            "chr2": n2,
+            "pos2": q2,
+            "strand1": s1,
+            "strand2": s2,
+        }
+    )
     with opener(out_pairs, "wt") as fh:
         fh.write("## pairs format v1.0\n")
         for cname in sorted(records):
             fh.write(f"#chromsize: {cname} {len(records[cname])}\n")
         fh.write("#columns: readID chr1 pos1 chr2 pos2 strand1 strand2\n")
-        for i in range(len(n1)):
-            fh.write(
-                f"read{i}\t{n1[i]}\t{q1[i]}\t{n2[i]}\t{q2[i]}\t{s1[i]}\t{s2[i]}\n"
-            )
+        df.to_csv(fh, sep="\t", header=False, index=False)
     return {
         "n_written": int(len(n1)),
         "n_requested": n_pairs,
