@@ -250,3 +250,51 @@ class TestIO:
         write_fasta(ref, info, out, junction="NNN")
         rec = read_fasta(out)
         assert rec["3C-assembly|contig_1"] == "AAAANNNGGGG"
+
+
+class TestPreservation:
+    def test_inversions_preserve_bins(self, inversion_scaffolds):
+        out = correct_spurious_inversions(inversion_scaffolds, "cis")
+        assert len(out["scaffold1"]) == len(
+            inversion_scaffolds["scaffold1"]
+        )
+        # only orientation may change
+        for a, b in zip(out["scaffold1"], inversion_scaffolds["scaffold1"]):
+            assert a[:4] == b[:4]
+
+    def test_reorient_preserves_bin_count(self):
+        sc = {"s": [["a", 2, 20, 30, 1], ["a", 0, 0, 10, -1], ["b", 0, 0, 5, 1]]}
+        out = reorient_consecutive_blocks(sc)
+        assert len(out["s"]) == 3
+
+    def test_find_lost_dna_no_gap(self, tmp_path):
+        from instagraal_tpu.io.fasta import write_fasta as wf
+
+        fasta = tmp_path / "r.fa"
+        wf({"c1": "A" * 50}, fasta)
+        # whole contig covered (inclusive end removal covers 0..50)
+        lost = find_lost_dna(fasta, {"s": [["c1", 0, 0, 50, 1]]})
+        assert "c1" not in lost or lost["c1"] == []
+
+
+class TestCliReincorporation:
+    def test_reincorporation_mode(self, tmp_path):
+        from click.testing import CliRunner
+
+        from instagraal_tpu.cli import polish as polish_cli
+        from instagraal_tpu.io.fasta import write_fasta as wf
+
+        fasta = tmp_path / "ref.fa"
+        wf({"c1": "ACGT" * 50}, fasta)
+        info = tmp_path / "info.txt"
+        write_info_frags({"s1": [["c1", 0, 0, 99, 1]]}, info)
+        out = tmp_path / "out"
+        result = CliRunner().invoke(
+            polish_cli.main,
+            ["-i", str(info), "-f", str(fasta), "-o", str(out),
+             "-m", "reincorporation"],
+        )
+        assert result.exit_code == 0, result.output
+        back = parse_info_frags(out / "new_info_frags.txt")
+        total = sum(len(v) for v in back.values())
+        assert total >= 2  # lost chunk reincorporated or appended
