@@ -183,6 +183,50 @@ def zeros_from_packed(packed, p: RippeParams, msf, n_pix_total):
     return LOG10_E * (intra + inter)
 
 
+def make_dist_fn(init_state: FragState, orientable):
+    """Device-side structural distance from the initial genome
+    (vectorized reference dist_inter_genome, cuda_lib_gl_single.py:665).
+    """
+    prev0 = init_state.prev
+    next0 = init_state.next
+    ori0 = jnp.ones_like(init_state.ori)
+    orientable = jnp.asarray(orientable)
+    n = prev0.shape[0]
+    norm = 3.0 * n
+
+    def dist(state: FragState):
+        prev1, next1, ori1 = state.prev, state.next, state.ori
+        d = jnp.full(n, 3.0)
+        same_pair = ((prev1 == prev0) & (next1 == next0)) | (
+            (prev1 == next0) & (next1 == prev0)
+        )
+        d = d - same_pair
+        swap = jnp.where(orientable & (ori1 != ori0), -1, 1)
+        p1 = jnp.where(swap == -1, next1, prev1)
+        n1 = jnp.where(swap == -1, prev1, next1)
+
+        def credit(nb1, nb0):
+            match = nb1 == nb0
+            nb_safe = jnp.clip(nb1, 0, n - 1)
+            anchor_free = (nb0 == -1) | ~orientable[nb_safe]
+            full = match & anchor_free
+            half = match & ~anchor_free
+            ori_match = half & (
+                ori0[jnp.clip(nb0, 0, n - 1)] == swap * ori1[nb_safe]
+            )
+            return full * 1.0 + half * 0.5 + ori_match * 0.5
+
+        d_orient = credit(p1, prev0) + credit(n1, next0)
+        d_plain = (
+            ((prev1 == prev0) | (prev1 == next0)) * 1.0
+            + ((next1 == next0) | (next1 == prev0)) * 1.0
+        )
+        d = d - jnp.where(orientable, d_orient, d_plain)
+        return jnp.sum(d) / norm
+
+    return dist
+
+
 class SweepEngine:
     """Builds the jitted cycle function for a Simulation."""
 
@@ -234,6 +278,9 @@ class SweepEngine:
         # (reference cuda_lib_gl_single.py:417-421)
         mean_sub_len = float(np.mean(np.asarray(sim.state.sub_len)))
         n_bounds = int(50 * round(mean_sub_len + 1))
+        dist_fn = make_dist_fn(
+            sim.state, np.asarray(sim.state.sub_len) > 1
+        )
 
         def _pp_all(packed, params):
             ra = packed[rows]
@@ -515,6 +562,7 @@ class SweepEngine:
                 "d": params.d,
                 "success": accepted,
                 "slice_overflow": n_overflow,
+                "dist_init_genome": dist_fn(new_state),
             }
             return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
 

@@ -211,12 +211,9 @@ class Scaffolder:
                 traces["id_fA"], traces["id_fB"], traces["op"]
             ):
                 self.collect_mutations.append((int(a), int(b), int(m)))
-            # the structural distance is evaluated once per cycle with the
-            # scan engine (per-step values require host round-trips)
             sampler.state = state
-            dist = sampler.dist_inter_genome()
             self.collect["dist_init_genome"].extend(
-                [dist] * len(traces["likelihood"])
+                traces["dist_init_genome"].tolist()
             )
             sampler.params = type(params)(
                 *[float(v) for v in jax.tree.leaves(params)]
