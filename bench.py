@@ -39,7 +39,7 @@ def main():
 
     sim = SyntheticSim(n_frags=N_FRAGS, n_contigs=16, seed=0)
     nnz = int(sim.coo_rows.shape[0])
-    engine = SweepEngine(sim, backend="sliced", sample_param=True)
+    engine = SweepEngine(sim, sample_param=True)  # backend="auto"
 
     state = sim.state
     params = sim.params
@@ -71,6 +71,7 @@ def main():
                 "value": round(steps_per_sec, 3),
                 "unit": f"steps/s (n_frags={N_FRAGS}, nnz={nnz}, "
                 f"5x24 mutations/step + nuisance MH, scan engine, "
+                f"backend={engine.backend}, "
                 f"device={jax.devices()[0].platform})",
                 "vs_baseline": round(
                     steps_per_sec / REFERENCE_STEPS_PER_SEC, 3

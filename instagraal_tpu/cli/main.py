@@ -125,6 +125,16 @@ from ..log import set_level
     default=False,
     help="Continue from the checkpoint in the output folder.",
 )
+@click.option(
+    "--slice-cap",
+    default=None,
+    type=str,
+    help=(
+        "Sliced-scoring capacity: an integer pixel count, or 'auto' to "
+        "derive one from the contact map (default: nnz/8). Oversized "
+        "slices fall back to an exact full re-score."
+    ),
+)
 @click.option("--quiet", is_flag=True, default=False, help="Warnings/errors only.")
 @click.option("--debug", is_flag=True, default=False, help="Debug output.")
 def main(
@@ -144,6 +154,7 @@ def main(
     simple,
     seed,
     resume,
+    slice_cap,
     quiet,
     debug,
 ):
@@ -184,6 +195,9 @@ def main(
         simple=simple,
         seed=None if seed < 0 else seed,
         resume=resume,
+        slice_capacity=(
+            slice_cap if slice_cap in (None, "auto") else int(slice_cap)
+        ),
     )
 
 

@@ -9,4 +9,9 @@ step are evaluated in one batched jitted computation, and the EM driver
 
 from .setup import Simulation  # noqa: F401
 from .sampler import Sampler  # noqa: F401
+from .device_sweep import (  # noqa: F401
+    MultiChainSweep,
+    SweepEngine,
+    suggest_slice_capacity,
+)
 from .driver import Scaffolder, run_instagraal  # noqa: F401

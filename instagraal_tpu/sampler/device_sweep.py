@@ -227,6 +227,41 @@ def make_dist_fn(init_state: FragState, orientable):
     return dist
 
 
+def suggest_slice_capacity(sim, margin: float = 1.25, floor: int = 4096):
+    """Data-driven slice capacity for `SweepEngine`.
+
+    A candidate pair (fA, fB) touches at most the pixels whose row or
+    column lies in contig(fA) or contig(fB), so the worst-case slice for
+    the *current* state is bounded by the combined pixel footprint of
+    the two heaviest contigs. Returns ``min(nnz, margin * that bound)``
+    (with a floor), which is tight for assembled genomes where the
+    blanket ``nnz // 8`` default badly over-allocates gather traffic.
+
+    Contigs merge as scaffolding progresses, so capacities derived from
+    a bombed state grow stale; with ``exact_overflow=True`` (the engine
+    default) a stale capacity only costs occasional exact full-matrix
+    fallbacks, never accuracy. The ``slice_max`` trace records the real
+    per-step maxima for re-tuning between cycles.
+    """
+    state = sim.state
+    idx = sim.sub_index
+    frag_of_sub = np.asarray(idx.frag_of_sub)
+    contig_of_sub = np.asarray(state.id_c)[frag_of_sub]
+    n_contigs = int(contig_of_sub.max()) + 1
+    rows_c = contig_of_sub[np.asarray(sim.coo_rows)]
+    cols_c = contig_of_sub[np.asarray(sim.coo_cols)]
+    # pixels touching contig c (row or col in c), counting each once
+    counts = (
+        np.bincount(rows_c, minlength=n_contigs)
+        + np.bincount(cols_c[cols_c != rows_c], minlength=n_contigs)
+    )
+    nnz = int(sim.coo_rows.shape[0])
+    top2 = int(np.sort(counts)[-2:].sum()) if n_contigs > 1 else int(
+        counts.max()
+    )
+    return int(min(nnz, max(floor, round(margin * top2))))
+
+
 class SweepEngine:
     """Builds the jitted cycle function for a Simulation."""
 
@@ -234,20 +269,42 @@ class SweepEngine:
         self,
         sim,
         n_neighbours: int = 5,
-        backend: str = "sliced",
+        backend: str = "auto",
         slice_capacity: int | None = None,
         neighbour_k: int = 32,
         sample_param: bool = True,
         mesh=None,
+        exact_overflow: bool = True,
     ):
         """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
         given, candidate scoring is sharded across its devices with
         shard_map — the candidate count is rounded up to the device
         count, so every chip scores (at least) one candidate's 24
         mutations per step and a v5e-8 evaluates 8+ candidates at the
-        single-candidate wall cost."""
+        single-candidate wall cost.
+
+        exact_overflow: when True (default), a candidate whose touched
+        slice exceeds ``slice_capacity`` is re-scored exactly with a
+        full-matrix pass (`lax.cond` fallback) instead of truncated, so
+        any capacity is safe — smaller caps only cost occasional full
+        recomputes. MultiChainSweep sets this False: under `jax.vmap`
+        the cond lowers to a select that evaluates BOTH branches every
+        step, which would defeat sliced scoring entirely."""
         self.sim = sim
         self.mesh = mesh
+        if backend == "auto":
+            # Measured on yeast L4 (278k nnz): once oversized slices are
+            # re-scored exactly, sliced and full run at the same speed
+            # when worst-case slices reach ~nnz/8 — and full is exact for
+            # every candidate and vmap-safe. Keep sliced where slices are
+            # genuinely small (large genomes) and for mesh runs (the
+            # candidate-sharding path is implemented on sliced scoring).
+            nnz_ = int(sim.coo_rows.shape[0])
+            slices_large = suggest_slice_capacity(sim) * 8 > nnz_
+            backend = (
+                "sliced" if mesh is not None or not slices_large
+                else "full"
+            )
         n_dev = mesh.shape["shards"] if mesh is not None else 1
         if mesh is not None:
             n_neighbours = max(n_neighbours, n_dev)
@@ -258,10 +315,13 @@ class SweepEngine:
         self.sample_param = sample_param
         self.n_frags = sim.n_frags
         nnz = int(sim.coo_rows.shape[0])
-        if slice_capacity is None:
+        if slice_capacity == "auto":
+            slice_capacity = suggest_slice_capacity(sim)
+        elif slice_capacity is None:
             slice_capacity = int(min(nnz, max(4096, nnz // 8)))
         self.slice_capacity = slice_capacity
         self.update_capacity = int(min(nnz, 2 * slice_capacity))
+        self.exact_overflow = exact_overflow
         self.table = NeighbourTable.build(
             sim.level.sparse_mat_csr, sim.n_frags, k=neighbour_k
         )
@@ -308,10 +368,8 @@ class SweepEngine:
                 )(packed24)
                 return jnp.where(valid, nz + z, -jnp.inf)
 
-            return (
-                jax.lax.map(score_one, (cand, first)),
-                jnp.asarray(0, dtype=jnp.int32),
-            )
+            zero = jnp.asarray(0, dtype=jnp.int32)
+            return jax.lax.map(score_one, (cand, first)), zero, zero
 
         def score_candidate_sliced(ctx, pair):
             (state, row_attr, col_attr, pp_cur, ll_nz_cur, id_fA,
@@ -359,14 +417,34 @@ class SweepEngine:
                 packed24 = jax.vmap(
                     lambda s: project_packed(s, idx)
                 )(stacked)
-                ra = jnp.take(packed24, sl_rows, axis=1)  # [24, cap, PACK]
-                ca = jnp.take(packed24, sl_cols, axis=1)
-                pp24 = pp_from_attrs(ra, ca, sl_data[None, :], params, msf)
-                nz_slice = jnp.sum(pp24 * w[None, :], axis=1)
+
+                def nz_sliced(pk24):
+                    ra = jnp.take(pk24, sl_rows, axis=1)  # [24, cap, PACK]
+                    ca = jnp.take(pk24, sl_cols, axis=1)
+                    pp24 = pp_from_attrs(
+                        ra, ca, sl_data[None, :], params, msf
+                    )
+                    return (
+                        ll_nz_cur
+                        - cur_slice
+                        + jnp.sum(pp24 * w[None, :], axis=1)
+                    )
+
+                def nz_full(pk24):
+                    return jax.vmap(
+                        lambda pk: jnp.sum(_pp_all(pk, params))
+                    )(pk24)
+
+                if exact_overflow:
+                    nz24 = jax.lax.cond(
+                        n_sel > cap, nz_full, nz_sliced, packed24
+                    )
+                else:
+                    nz24 = nz_sliced(packed24)
                 z = jax.vmap(
                     lambda pk: zeros_from_packed(pk, params, msf, n_pix)
                 )(packed24)
-                scores = ll_nz_cur - cur_slice + nz_slice + z
+                scores = nz24 + z
                 return jnp.where(valid, scores, -jnp.inf), n_sel
 
         def sliced_scores(
@@ -382,7 +460,7 @@ class SweepEngine:
                     lambda pair: score_candidate_sliced(ctx, pair),
                     (cand, first),
                 )
-                return scores, jnp.sum(n_sel > cap)
+                return scores, jnp.sum(n_sel > cap), jnp.max(n_sel)
             from jax.sharding import PartitionSpec as P
 
             try:
@@ -403,7 +481,7 @@ class SweepEngine:
                 out_specs=P("shards"),
                 check_vma=False,
             )(cand, first, ctx)
-            return scores, jnp.sum(n_sel > cap)
+            return scores, jnp.sum(n_sel > cap), jnp.max(n_sel)
 
         score_fn = sliced_scores if backend == "sliced" else full_scores
 
@@ -513,7 +591,7 @@ class SweepEngine:
                 sample_neighbours(k_nb, self.table, id_fA, n_cand)
             )
             first = jnp.arange(n_cand) == 0
-            scores, n_overflow = score_fn(
+            scores, n_overflow, slice_max = score_fn(
                 state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
                 id_fA, cand, first, max_id, params,
             )
@@ -528,7 +606,6 @@ class SweepEngine:
                 state, id_fA, id_fB, max_id, flip_eject=True
             )
             new_state = jax.tree.map(lambda a: a[op], stacked)
-            ll_t = flat[best]
 
             pp_cur, ll_nz_cur = update_pp(
                 new_state, row_attr, col_attr, cA, cB, pp_cur, ll_nz_cur,
@@ -536,6 +613,14 @@ class SweepEngine:
             )
 
             new_packed = project_packed(new_state, idx)
+            # carried likelihood comes from the exactly-updated pixel
+            # cache + the analytic zeros term, not from the accepted
+            # candidate's slice score: windowing/truncation can then
+            # only affect which move wins the argmax, never the
+            # likelihood trajectory itself.
+            ll_t = ll_nz_cur + zeros_from_packed(
+                new_packed, params, msf, n_pix
+            )
             n_params, n_ll, n_pp, n_nz, accepted = nuisance_step(
                 k_nuis, new_state, new_packed, params, ll_t, pp_cur,
                 ll_nz_cur,
@@ -562,6 +647,7 @@ class SweepEngine:
                 "d": params.d,
                 "success": accepted,
                 "slice_overflow": n_overflow,
+                "slice_max": slice_max,
                 "dist_init_genome": dist_fn(new_state),
             }
             return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
@@ -633,6 +719,17 @@ class MultiChainSweep:
     def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if engine.backend == "sliced" and engine.exact_overflow:
+            import warnings
+
+            warnings.warn(
+                "MultiChainSweep over a sliced engine with "
+                "exact_overflow=True: vmap lowers the overflow cond to a "
+                "select that evaluates the full-matrix branch every step. "
+                "Build the engine with exact_overflow=False for "
+                "multi-chain runs.",
+                stacklevel=2,
+            )
         self.engine = engine
         self.mesh = mesh
         self.n_chains = n_chains

@@ -55,7 +55,10 @@ class Scaffolder:
         size_pyramid: int | None = None,
         sample_param: bool = True,
         engine: str = "scan",
+        slice_capacity=None,
     ):
+        """slice_capacity: int, "auto", or None (nnz // 8 default) —
+        forwarded to SweepEngine; see suggest_slice_capacity."""
         kw = {}
         if size_pyramid is not None:
             kw["size_pyramid"] = size_pyramid
@@ -75,6 +78,7 @@ class Scaffolder:
         )
         self.sampler.eval_likelihood()
         self.engine = engine
+        self.slice_capacity = slice_capacity
         self.seed = seed if seed is not None else 0
         self._sweep_engine = None  # built lazily (jit compile cost)
         self.sample_param = sample_param
@@ -178,6 +182,7 @@ class Scaffolder:
                 self.simulation,
                 n_neighbours=sampler.n_neighbours,
                 sample_param=self.sample_param,
+                slice_capacity=self.slice_capacity,
             )
         engine = self._sweep_engine
         state = sampler.state
@@ -215,6 +220,16 @@ class Scaffolder:
             self.collect["dist_init_genome"].extend(
                 traces["dist_init_genome"].tolist()
             )
+            n_over = int(traces["slice_overflow"].sum())
+            if n_over:
+                logger.info(
+                    "cycle %d: %d candidate slices exceeded capacity %d "
+                    "(max seen %d) — %s",
+                    j, n_over, engine.slice_capacity,
+                    int(traces["slice_max"].max()),
+                    "re-scored exactly" if engine.exact_overflow
+                    else "scores truncated",
+                )
             sampler.params = type(params)(
                 *[float(v) for v in jax.tree.leaves(params)]
             )
@@ -381,6 +396,7 @@ def run_instagraal(
     simple: bool = False,
     seed: int | None = 0,
     resume: bool = False,
+    slice_capacity=None,
 ) -> None:
     """Run the scaffolding pipeline (reference instagraal.py:502-638).
 
@@ -410,6 +426,7 @@ def run_instagraal(
         n_neighbours=neighborhood,
         seed=seed,
         circular=circular,
+        slice_capacity=slice_capacity,
     )
     scaf.full_em(
         n_cycles=cycles,

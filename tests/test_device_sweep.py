@@ -112,6 +112,81 @@ class TestSweepEngine:
             tr_f["likelihood"], tr_s["likelihood"], rtol=1e-4, atol=0.5
         )
 
+    def test_tiny_capacity_exact_fallback(self):
+        """With exact_overflow=True an undersized capacity must not
+        change the result: every oversized slice re-scores through the
+        full-matrix cond branch, so the trajectory matches the full
+        backend exactly (and the overflow/slice_max traces record it)."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        eng_full = SweepEngine(ssim, backend="full", sample_param=False)
+        eng_tiny = SweepEngine(
+            ssim, backend="sliced", sample_param=False, slice_capacity=4,
+            exact_overflow=True,
+        )
+        ll0 = eng_full.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(1)
+        _, _, _, tr_f = eng_full.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        _, _, _, tr_t = eng_tiny.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        np.testing.assert_array_equal(tr_f["id_fA"], tr_t["id_fA"])
+        np.testing.assert_allclose(
+            tr_f["likelihood"], tr_t["likelihood"], rtol=1e-4, atol=0.5
+        )
+        assert tr_t["slice_overflow"].sum() > 0
+        assert tr_t["slice_max"].max() > 4
+
+    def test_tiny_capacity_truncated_still_runs(self):
+        """exact_overflow=False (the vmap-safe mode) truncates oversized
+        slices; the sweep still runs and stays finite."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=32, n_contigs=4, seed=3)
+        eng = SweepEngine(
+            ssim, backend="sliced", sample_param=False, slice_capacity=4,
+            exact_overflow=False,
+        )
+        ll0 = eng.initial_ll(ssim.state, ssim.params)
+        _, _, _, tr = eng.run_cycle(
+            ssim.state, ssim.params, ll0, jax.random.PRNGKey(0),
+            sample_param=False,
+        )
+        assert np.isfinite(tr["likelihood"]).all()
+
+    def test_suggest_slice_capacity(self, sim):
+        from instagraal_tpu.sampler import suggest_slice_capacity
+
+        nnz = int(sim.coo_rows.shape[0])
+        cap = suggest_slice_capacity(sim, floor=16)
+        assert 16 <= cap <= nnz
+        eng = SweepEngine(
+            sim, backend="sliced", sample_param=False,
+            slice_capacity="auto",
+        )
+        assert eng.slice_capacity == suggest_slice_capacity(sim)
+
+    def test_auto_backend_resolution(self, sim):
+        """auto -> full when worst-case slices reach ~nnz/8 (measured
+        crossover), sliced on a mesh (the candidate-sharding path)."""
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.sampler import suggest_slice_capacity
+
+        nnz = int(sim.coo_rows.shape[0])
+        eng = SweepEngine(sim, backend="auto", sample_param=False)
+        expect = (
+            "full" if suggest_slice_capacity(sim) * 8 > nnz else "sliced"
+        )
+        assert eng.backend == expect
+        mesh = make_mesh(n_devices=8, chains=1)
+        eng_m = SweepEngine(
+            sim, backend="auto", sample_param=False, mesh=mesh
+        )
+        assert eng_m.backend == "sliced"
+
     def test_sliced_matches_full_quality(self, sim, params):
         """On the toy pipeline problem (multi-sub fragments, windowed
         same-contig slices) argmax tie-breaks may diverge the
@@ -219,7 +294,10 @@ class TestMultiChainSweep:
         from instagraal_tpu.parallel import make_mesh
         from instagraal_tpu.sampler.device_sweep import MultiChainSweep
 
-        engine = SweepEngine(sim, backend="sliced", sample_param=False)
+        engine = SweepEngine(
+            sim, backend="sliced", sample_param=False,
+            exact_overflow=False,
+        )
         mesh = make_mesh(n_devices=8, chains=4)
         mc = MultiChainSweep(engine, mesh=mesh, n_chains=4)
         states = mc.broadcast_state(sim.state)
@@ -236,6 +314,17 @@ class TestMultiChainSweep:
         best, ll = mc.best(states, lls)
         assert ll == lls.max()
         assert best.pos.shape == (sim.n_frags,)
+
+    def test_warns_on_exact_overflow_engine(self, sim):
+        """vmap lowers the overflow cond to a both-branches select, so
+        multi-chain over an exact_overflow engine must warn."""
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        engine = SweepEngine(
+            sim, backend="sliced", sample_param=False, exact_overflow=True
+        )
+        with pytest.warns(UserWarning, match="exact_overflow"):
+            MultiChainSweep(engine, n_chains=2)
 
 
 class TestShardedCandidates:
