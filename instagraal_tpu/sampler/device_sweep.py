@@ -13,17 +13,22 @@ Performance design (see docs/DESIGN.md):
   one contiguous 32-byte row instead of five scattered scalars.
 - The per-pixel score vector pp_cur[nnz] of the *current* genome is
   carried through the scan and updated incrementally: after an accepted
-  move, only the pixels touching the two affected contigs are re-scored
-  (exact — no windowing on the update path), with an in-graph fallback
-  to a full recompute if the update slice overflows its capacity.
-  Accepted nuisance moves reuse the full-sweep scores their own MH
-  evaluation already produced.
-- Candidate scoring uses the reference's slice trick (slice_sp_mat
-  kernel :485): per candidate, pixels touching the affected contigs are
-  compacted with jnp.nonzero(size=cap) and only those are re-scored for
-  the 24 mutations; same-contig moves use the reference's windowing.
-  score = nz_total - nz_slice_cur + nz_slice_mut + zeros_mut
-  (eval_all_scores, kernel :4029).
+  move, only the pixels with both endpoints in the two affected contigs
+  can change (exact — single-endpoint pixels are trans before and
+  after), with an in-graph fallback to a full recompute if the update
+  set overflows its capacity. Accepted nuisance moves reuse the
+  full-sweep scores their own MH evaluation already produced.
+- Candidate scoring refines the reference's slice trick (slice_sp_mat
+  kernel :485, eval_all_scores :4029) with a cis/trans split: pixels
+  with one endpoint in the affected contigs are trans under every
+  mutation and contribute a data-only flat term summed by masked
+  reduction (no gather, no compaction); only pixels with BOTH
+  endpoints in the affected contigs are compacted
+  (jnp.nonzero(size=cap)) and re-gathered for the 24 mutations.
+  backend="sliced" additionally applies the reference's same-contig
+  windowing; "full" (the default where it fits) is unwindowed = exact.
+  score = nz_total - sum(pp_cur*touch) + sum(g_trans*(touch-both))
+          + nz_both_mut + zeros_mut.
 
 Neighbour sampling uses a per-fragment top-K contact table with Gumbel
 top-k sampling (device-side analogue of the reference's host
@@ -228,38 +233,51 @@ def make_dist_fn(init_state: FragState, orientable):
 
 
 def suggest_slice_capacity(sim, margin: float = 1.25, floor: int = 4096):
-    """Data-driven slice capacity for `SweepEngine`.
+    """Data-driven capacity for `SweepEngine`'s gathered pixel set.
 
-    A candidate pair (fA, fB) touches at most the pixels whose row or
-    column lies in contig(fA) or contig(fB), so the worst-case slice for
-    the *current* state is bounded by the combined pixel footprint of
-    the two heaviest contigs. Returns ``min(nnz, margin * that bound)``
-    (with a floor), which is tight for assembled genomes where the
-    blanket ``nnz // 8`` default badly over-allocates gather traffic.
+    Candidate scoring only gathers pixels with BOTH endpoints in the
+    candidate pair's two contigs (single-endpoint pixels stay trans
+    under every mutation — see score_candidate). For the *current*
+    state the worst case over pairs (A, B) is
+    ``cis(A) + cis(B) + cross(A, B)``; this returns ``min(nnz,
+    margin * that bound)`` (with a floor).
 
     Contigs merge as scaffolding progresses, so capacities derived from
     a bombed state grow stale; with ``exact_overflow=True`` (the engine
     default) a stale capacity only costs occasional exact full-matrix
     fallbacks, never accuracy. The ``slice_max`` trace records the real
-    per-step maxima for re-tuning between cycles.
+    per-step maxima for re-tuning between cycles. (Measured on yeast L4,
+    278k nnz: worst pair 1.5k pixels on the 147-contig draft, 24k at the
+    true 17-chromosome assembly.)
     """
     state = sim.state
     idx = sim.sub_index
     frag_of_sub = np.asarray(idx.frag_of_sub)
     contig_of_sub = np.asarray(state.id_c)[frag_of_sub]
     n_contigs = int(contig_of_sub.max()) + 1
-    rows_c = contig_of_sub[np.asarray(sim.coo_rows)]
-    cols_c = contig_of_sub[np.asarray(sim.coo_cols)]
-    # pixels touching contig c (row or col in c), counting each once
-    counts = (
-        np.bincount(rows_c, minlength=n_contigs)
-        + np.bincount(cols_c[cols_c != rows_c], minlength=n_contigs)
+    rows_c = contig_of_sub[np.asarray(sim.coo_rows)].astype(np.int64)
+    cols_c = contig_of_sub[np.asarray(sim.coo_cols)].astype(np.int64)
+    nnz = int(rows_c.shape[0])
+    cis = np.bincount(
+        rows_c[rows_c == cols_c], minlength=n_contigs
     )
-    nnz = int(sim.coo_rows.shape[0])
-    top2 = int(np.sort(counts)[-2:].sum()) if n_contigs > 1 else int(
-        counts.max()
+    trans = rows_c != cols_c
+    lo = np.minimum(rows_c[trans], cols_c[trans])
+    hi = np.maximum(rows_c[trans], cols_c[trans])
+    codes, cross = np.unique(lo * n_contigs + hi, return_counts=True)
+    if codes.size:
+        pair_tot = (
+            cis[(codes // n_contigs)] + cis[(codes % n_contigs)] + cross
+        )
+        worst = int(pair_tot.max())
+    else:
+        worst = 0
+    # a pair with no cross contacts can still pair the two heaviest cis
+    top2_cis = int(np.sort(cis)[-2:].sum()) if n_contigs > 1 else int(
+        cis.max() if cis.size else 0
     )
-    return int(min(nnz, max(floor, round(margin * top2))))
+    worst = max(worst, top2_cis)
+    return int(min(nnz, max(floor, round(margin * worst))))
 
 
 class SweepEngine:
@@ -275,6 +293,7 @@ class SweepEngine:
         sample_param: bool = True,
         mesh=None,
         exact_overflow: bool = True,
+        wide_rows: bool = False,
     ):
         """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
         given, candidate scoring is sharded across its devices with
@@ -289,21 +308,33 @@ class SweepEngine:
         any capacity is safe — smaller caps only cost occasional full
         recomputes. MultiChainSweep sets this False: under `jax.vmap`
         the cond lowers to a select that evaluates BOTH branches every
-        step, which would defeat sliced scoring entirely."""
+        step, which would defeat sliced scoring entirely.
+
+        wide_rows: gather candidate attributes in sub-major layout
+        ([n_sub, 24, 8]: one 768B gather per pixel-endpoint fetches all
+        24 mutations) instead of mutation-major ([24, n_sub, 8]: 24
+        separate 32B-row gathers). Candidate scoring is gather
+        issue-rate bound (~0.6ns/row measured on v5e), so fewer, wider
+        gathers trade issue count for bytes."""
         self.sim = sim
         self.mesh = mesh
+        nnz = int(sim.coo_rows.shape[0])
+        if slice_capacity == "auto":
+            slice_capacity = suggest_slice_capacity(sim)
+        elif slice_capacity is None:
+            slice_capacity = int(min(nnz, max(4096, nnz // 16)))
         if backend == "auto":
-            # Measured on yeast L4 (278k nnz): once oversized slices are
-            # re-scored exactly, sliced and full run at the same speed
-            # when worst-case slices reach ~nnz/8 — and full is exact for
-            # every candidate and vmap-safe. Keep sliced where slices are
-            # genuinely small (large genomes) and for mesh runs (the
-            # candidate-sharding path is implemented on sliced scoring).
-            nnz_ = int(sim.coo_rows.shape[0])
-            slices_large = suggest_slice_capacity(sim) * 8 > nnz_
+            # Both backends run the same cis/trans-split delta scoring;
+            # they differ only in the reference's same-contig windowing
+            # of the touch mask. Unwindowed ("full") is exact for every
+            # candidate, so prefer it whenever the current worst-case
+            # both-endpoint set fits the capacity; windowing only pays
+            # when giant contigs would otherwise overflow into frequent
+            # full-matrix fallbacks.
             backend = (
-                "sliced" if mesh is not None or not slices_large
-                else "full"
+                "full"
+                if suggest_slice_capacity(sim) <= slice_capacity
+                else "sliced"
             )
         n_dev = mesh.shape["shards"] if mesh is not None else 1
         if mesh is not None:
@@ -314,14 +345,10 @@ class SweepEngine:
         self.backend = backend
         self.sample_param = sample_param
         self.n_frags = sim.n_frags
-        nnz = int(sim.coo_rows.shape[0])
-        if slice_capacity == "auto":
-            slice_capacity = suggest_slice_capacity(sim)
-        elif slice_capacity is None:
-            slice_capacity = int(min(nnz, max(4096, nnz // 8)))
         self.slice_capacity = slice_capacity
         self.update_capacity = int(min(nnz, 2 * slice_capacity))
         self.exact_overflow = exact_overflow
+        self.wide_rows = wide_rows
         self.table = NeighbourTable.build(
             sim.level.sparse_mat_csr, sim.n_frags, k=neighbour_k
         )
@@ -347,45 +374,50 @@ class SweepEngine:
             ca = packed[cols]
             return pp_from_attrs(ra, ca, data, params, msf)
 
-        # --- scoring backends ---------------------------------------
-        def full_scores(
-            state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
-            id_fA, cand, first, max_id, params,
-        ):
-            def score_one(args):
-                id_fB, is_first = args
-                stacked, valid = all_candidate_states(
-                    state, id_fA, id_fB, max_id, flip_eject=is_first
-                )
-                packed24 = jax.vmap(
-                    lambda s: project_packed(s, idx)
-                )(stacked)
-                nz = jax.vmap(
-                    lambda pk: jnp.sum(_pp_all(pk, params))
-                )(packed24)
-                z = jax.vmap(
-                    lambda pk: zeros_from_packed(pk, params, msf, n_pix)
-                )(packed24)
-                return jnp.where(valid, nz + z, -jnp.inf)
+        def _nz24_all(packed24, params):
+            """Total nz log-likelihood for each of 24 mutated genomes."""
+            if wide_rows:
+                wide = jnp.swapaxes(packed24, 0, 1)  # [n_sub, 24, PACK]
+                pp = pp_from_attrs(
+                    wide[rows], wide[cols], data[:, None], params, msf
+                )  # [nnz, 24]
+                return jnp.sum(pp, axis=0)
+            return jax.vmap(
+                lambda pk: jnp.sum(_pp_all(pk, params))
+            )(packed24)
 
-            zero = jnp.asarray(0, dtype=jnp.int32)
-            return jax.lax.map(score_one, (cand, first)), zero, zero
+        # --- candidate scoring: cis/trans-split delta -----------------
+        # Every mutation of the pair (fA, fB) only rebuilds contigs out
+        # of the fragments of contig(fA) ∪ contig(fB) (ops.py assigns
+        # ids from {cA, cB, max_id+1, ...}, never an untouched contig's
+        # id). Hence a pixel with exactly ONE endpoint in those contigs
+        # is trans both before and after every mutation, and its score
+        # term depends only on the observed count (the trans expectation
+        # is the flat v_inter — rippe.py): no positional gathers needed.
+        # Only pixels with BOTH endpoints in cA ∪ cB can change cis
+        # status or genomic distance, and only they are compacted and
+        # gathered per mutation. Measured on yeast L4: both-endpoint
+        # sets are 1.5k-24k pixels where the old touch slices were
+        # 35k-118k — the expensive 24-way gathers shrink ~5x.
+        #
+        # score(m) = ll_nz_cur - sum(pp_cur * touch)          # remove
+        #          + sum(g_trans * (touch - both))            # single-in
+        #          + sum_m pp(gathered both-in pixels)        # re-score
+        #          + zeros(m)
+        # with g_trans[i] = log10_poisson(v_inter, data[i]) +
+        # v_inter*log10(e), precomputed once per step.
+        windowed = backend == "sliced"
 
-        def score_candidate_sliced(ctx, pair):
-            (state, row_attr, col_attr, pp_cur, ll_nz_cur, id_fA,
-             max_id, params) = ctx
+        def score_candidate(ctx, pair):
+            (state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
+             ll_nz_cur, id_fA, max_id, params) = ctx
             id_fB, is_first = pair
             cA = state.id_c[id_fA].astype(jnp.float32)
-            row_c = row_attr[:, 1]
-            col_c = col_attr[:, 1]
-            row_p = row_attr[:, 3]
-            col_p = col_attr[:, 3]
-            if True:
-                cB = state.id_c[id_fB].astype(jnp.float32)
-                touch = (
-                    (row_c == cA) | (row_c == cB)
-                    | (col_c == cA) | (col_c == cB)
-                )
+            cB = state.id_c[id_fB].astype(jnp.float32)
+            row_in = (row_c == cA) | (row_c == cB)
+            col_in = (col_c == cA) | (col_c == cB)
+            touch = row_in | col_in
+            if windowed:
                 # same-contig windowing (reference slice_sp_mat :536-585)
                 same = cA == cB
                 pa = state.sub_pos[id_fA].astype(jnp.float32)
@@ -402,62 +434,61 @@ class SweepEngine:
                     (px <= hi_b) & (py >= lo_b)
                 )
                 touch = jnp.where(same, touch & in_win, touch)
+            both = touch & row_in & col_in
+            tmask = touch.astype(jnp.float32)
+            bmask = both.astype(jnp.float32)
+            cur_slice = jnp.sum(pp_cur * tmask)
+            g_single = jnp.sum(g_trans * (tmask - bmask))
 
-                (sl_idx,) = jnp.nonzero(touch, size=cap, fill_value=0)
-                n_sel = jnp.sum(touch)
-                w = (jnp.arange(cap) < n_sel).astype(jnp.float32)
-                sl_rows = rows[sl_idx]
-                sl_cols = cols[sl_idx]
-                sl_data = data[sl_idx]
-                cur_slice = jnp.sum(pp_cur[sl_idx] * w)
+            (b_idx,) = jnp.nonzero(both, size=cap, fill_value=0)
+            n_sel = jnp.sum(both)
+            w = (jnp.arange(cap) < n_sel).astype(jnp.float32)
+            b_rows = rows[b_idx]
+            b_cols = cols[b_idx]
+            b_data = data[b_idx]
 
-                stacked, valid = all_candidate_states(
-                    state, id_fA, id_fB, max_id, flip_eject=is_first
-                )
-                packed24 = jax.vmap(
-                    lambda s: project_packed(s, idx)
-                )(stacked)
-
-                def nz_sliced(pk24):
-                    ra = jnp.take(pk24, sl_rows, axis=1)  # [24, cap, PACK]
-                    ca = jnp.take(pk24, sl_cols, axis=1)
-                    pp24 = pp_from_attrs(
-                        ra, ca, sl_data[None, :], params, msf
-                    )
-                    return (
-                        ll_nz_cur
-                        - cur_slice
-                        + jnp.sum(pp24 * w[None, :], axis=1)
-                    )
-
-                def nz_full(pk24):
-                    return jax.vmap(
-                        lambda pk: jnp.sum(_pp_all(pk, params))
-                    )(pk24)
-
-                if exact_overflow:
-                    nz24 = jax.lax.cond(
-                        n_sel > cap, nz_full, nz_sliced, packed24
-                    )
-                else:
-                    nz24 = nz_sliced(packed24)
-                z = jax.vmap(
-                    lambda pk: zeros_from_packed(pk, params, msf, n_pix)
-                )(packed24)
-                scores = nz24 + z
-                return jnp.where(valid, scores, -jnp.inf), n_sel
-
-        def sliced_scores(
-            state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
-            id_fA, cand, first, max_id, params,
-        ):
-            ctx = (
-                state, row_attr, col_attr, pp_cur, ll_nz_cur, id_fA,
-                max_id, params,
+            stacked, valid = all_candidate_states(
+                state, id_fA, id_fB, max_id, flip_eject=is_first
             )
+            packed24 = jax.vmap(
+                lambda s: project_packed(s, idx)
+            )(stacked)
+
+            def nz_delta(pk24):
+                if wide_rows:
+                    wide = jnp.swapaxes(pk24, 0, 1)  # [n_sub, 24, PACK]
+                    pp24 = pp_from_attrs(
+                        wide[b_rows], wide[b_cols],
+                        b_data[:, None], params, msf,
+                    )  # [cap, 24]
+                    nz_both = jnp.sum(pp24 * w[:, None], axis=0)
+                else:
+                    ra = jnp.take(pk24, b_rows, axis=1)  # [24, cap, PACK]
+                    ca = jnp.take(pk24, b_cols, axis=1)
+                    pp24 = pp_from_attrs(
+                        ra, ca, b_data[None, :], params, msf
+                    )
+                    nz_both = jnp.sum(pp24 * w[None, :], axis=1)
+                return ll_nz_cur - cur_slice + g_single + nz_both
+
+            def nz_full(pk24):
+                return _nz24_all(pk24, params)
+
+            if exact_overflow:
+                nz24 = jax.lax.cond(
+                    n_sel > cap, nz_full, nz_delta, packed24
+                )
+            else:
+                nz24 = nz_delta(packed24)
+            z = jax.vmap(
+                lambda pk: zeros_from_packed(pk, params, msf, n_pix)
+            )(packed24)
+            return jnp.where(valid, nz24 + z, -jnp.inf), n_sel
+
+        def score_fn(ctx, cand, first):
             if mesh is None:
                 scores, n_sel = jax.lax.map(
-                    lambda pair: score_candidate_sliced(ctx, pair),
+                    lambda pair: score_candidate(ctx, pair),
                     (cand, first),
                 )
                 return scores, jnp.sum(n_sel > cap), jnp.max(n_sel)
@@ -470,7 +501,7 @@ class SweepEngine:
 
             def local(c, fst, ctx_):
                 return jax.lax.map(
-                    lambda pair: score_candidate_sliced(ctx_, pair),
+                    lambda pair: score_candidate(ctx_, pair),
                     (c, fst),
                 )
 
@@ -483,20 +514,20 @@ class SweepEngine:
             )(cand, first, ctx)
             return scores, jnp.sum(n_sel > cap), jnp.max(n_sel)
 
-        score_fn = sliced_scores if backend == "sliced" else full_scores
-
         # --- exact incremental pp_cur update after an accepted move --
         def update_pp(
-            new_state, row_attr, col_attr, cA, cB, pp_cur, ll_nz_cur,
+            new_state, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
             params,
         ):
-            """Re-score exactly the pixels whose endpoints lived in the
-            affected contigs (old labels), with full-recompute fallback
-            when the update slice overflows."""
-            touch = (
-                (row_attr[:, 1] == cA) | (row_attr[:, 1] == cB)
-                | (col_attr[:, 1] == cA) | (col_attr[:, 1] == cB)
-            )
+            """Re-score exactly the pixels whose pp can change under the
+            accepted move — those with BOTH endpoints in the affected
+            contigs (old labels): single-endpoint pixels are trans both
+            before and after, so their term is untouched (see
+            score_candidate). Full-recompute fallback when the update
+            set overflows."""
+            row_in = (row_c == cA) | (row_c == cB)
+            col_in = (col_c == cA) | (col_c == cB)
+            touch = row_in & col_in
             (upd_idx,) = jnp.nonzero(touch, size=cap_upd, fill_value=0)
             n_upd = jnp.sum(touch)
             w = (jnp.arange(cap_upd) < n_upd).astype(jnp.float32)
@@ -584,17 +615,29 @@ class SweepEngine:
             state, n_contigs, mean_len = renumber_contigs(state)
             max_id = (n_contigs - 1).astype(jnp.int32)
             packed_cur = project_packed(state, idx)
-            row_attr = packed_cur[rows]
-            col_attr = packed_cur[cols]
+            # only the contig-id and position lanes are needed per
+            # pixel-endpoint: gather 8-byte (id_c, pos) rows, not the
+            # full 32-byte attribute rows
+            cp = packed_cur[:, (1, 3)]
+            row_cp = cp[rows]
+            col_cp = cp[cols]
+            row_c, row_p = row_cp[:, 0], row_cp[:, 1]
+            col_c, col_p = col_cp[:, 0], col_cp[:, 1]
+            # flat trans score term, data-only (see score_candidate)
+            g_trans = (
+                log10_poisson(jnp.asarray(params.v_inter), data)
+                + params.v_inter * LOG10_E
+            )
 
             cand = jnp.sort(
                 sample_neighbours(k_nb, self.table, id_fA, n_cand)
             )
             first = jnp.arange(n_cand) == 0
-            scores, n_overflow, slice_max = score_fn(
-                state, packed_cur, row_attr, col_attr, pp_cur, ll_nz_cur,
-                id_fA, cand, first, max_id, params,
+            ctx = (
+                state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
+                ll_nz_cur, id_fA, max_id, params,
             )
+            scores, n_overflow, slice_max = score_fn(ctx, cand, first)
             flat = scores.reshape(-1)
             best = jnp.argmax(flat)
             id_fB = cand[best // N_MUTATIONS]
@@ -608,7 +651,7 @@ class SweepEngine:
             new_state = jax.tree.map(lambda a: a[op], stacked)
 
             pp_cur, ll_nz_cur = update_pp(
-                new_state, row_attr, col_attr, cA, cB, pp_cur, ll_nz_cur,
+                new_state, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
                 params,
             )
 
@@ -621,17 +664,26 @@ class SweepEngine:
             ll_t = ll_nz_cur + zeros_from_packed(
                 new_packed, params, msf, n_pix
             )
-            n_params, n_ll, n_pp, n_nz, accepted = nuisance_step(
-                k_nuis, new_state, new_packed, params, ll_t, pp_cur,
-                ll_nz_cur,
+            # lax.cond so steps with the nuisance MH disabled skip its
+            # full-matrix pass at runtime (under the scan the cond is a
+            # real branch; under MultiChainSweep's vmap it lowers to a
+            # both-branches select, which is no worse than the
+            # unconditional call it replaces)
+            def with_nuis(_):
+                return nuisance_step(
+                    k_nuis, new_state, new_packed, params, ll_t, pp_cur,
+                    ll_nz_cur,
+                )
+
+            def without_nuis(_):
+                return (
+                    params, ll_t, pp_cur, ll_nz_cur,
+                    jnp.asarray(False),
+                )
+
+            params, ll_t, pp_cur, ll_nz_cur, accepted = jax.lax.cond(
+                do_nuis, with_nuis, without_nuis, None
             )
-            params = jax.tree.map(
-                lambda a, b: jnp.where(do_nuis, a, b), n_params, params
-            )
-            ll_t = jnp.where(do_nuis, n_ll, ll_t)
-            pp_cur = jnp.where(do_nuis, n_pp, pp_cur)
-            ll_nz_cur = jnp.where(do_nuis, n_nz, ll_nz_cur)
-            accepted = accepted & do_nuis
 
             trace = {
                 "likelihood": ll_t,
@@ -719,11 +771,11 @@ class MultiChainSweep:
     def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if engine.backend == "sliced" and engine.exact_overflow:
+        if engine.exact_overflow:
             import warnings
 
             warnings.warn(
-                "MultiChainSweep over a sliced engine with "
+                "MultiChainSweep over an engine with "
                 "exact_overflow=True: vmap lowers the overflow cond to a "
                 "select that evaluates the full-matrix branch every step. "
                 "Build the engine with exact_overflow=False for "

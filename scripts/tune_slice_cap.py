@@ -30,18 +30,22 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def time_cycles(eng, state, params, ll, key, n, label):
+def time_cycles(eng, state, params, ll, key, n, label, nuisance=True):
     tr = None
     t0 = time.time()
     key, sub = jax.random.split(key)
-    state, params, ll, tr = eng.run_cycle(state, params, ll, sub)
+    state, params, ll, tr = eng.run_cycle(
+        state, params, ll, sub, sample_param=nuisance
+    )
     emit(phase=f"{label}_compile", seconds=round(time.time() - t0, 2))
     t0 = time.time()
     maxima = []
     overflows = 0
     for _ in range(n):
         key, sub = jax.random.split(key)
-        state, params, ll, tr = eng.run_cycle(state, params, ll, sub)
+        state, params, ll, tr = eng.run_cycle(
+            state, params, ll, sub, sample_param=nuisance
+        )
         maxima.append(int(tr["slice_max"].max()))
         overflows += int(tr["slice_overflow"].sum())
     dt = (time.time() - t0) / n
@@ -77,6 +81,8 @@ def main():
         "it with truncation (exact_overflow=False); the literal "
         "'full' measures the full-recompute backend.",
     )
+    ap.add_argument("--no-nuisance", action="store_true")
+    ap.add_argument("--neighbours", type=int, default=5)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -99,7 +105,7 @@ def main():
         seconds=round(time.time() - t0, 2),
         n_frags=sim.n_frags,
         nnz=nnz,
-        default_cap=int(min(nnz, max(4096, nnz // 8))),
+        default_cap=int(min(nnz, max(4096, nnz // 16))),
         suggested_cap=suggest_slice_capacity(sim),
     )
 
@@ -120,8 +126,14 @@ def main():
         # cycles are comparable; likelihood is reported to judge the
         # truncation cost.
         for spec in args.caps.split(","):
+            nb = args.neighbours
+            wide = "w" in spec.lstrip("0123456789").replace("full", "")
+            spec = spec.replace("w", "")
             if spec == "full":
-                eng = SweepEngine(sim, backend="full", sample_param=True)
+                eng = SweepEngine(
+                    sim, backend="full", sample_param=True,
+                    n_neighbours=nb, wide_rows=wide,
+                )
                 label = "full"
             else:
                 trunc = spec.endswith("t")
@@ -129,11 +141,19 @@ def main():
                 eng = SweepEngine(
                     sim, backend="sliced", sample_param=True,
                     slice_capacity=cap, exact_overflow=not trunc,
+                    n_neighbours=nb, wide_rows=wide,
                 )
                 label = f"cap{cap}{'_trunc' if trunc else ''}"
+            if wide:
+                label += "_wide"
+            if nb != 5:
+                label += f"_nb{nb}"
+            if args.no_nuisance:
+                label += "_nonuis"
             ll = eng.initial_ll(state, params)
             _, _, ll_end, _, _ = time_cycles(
-                eng, state, params, ll, key, args.cycles, label
+                eng, state, params, ll, key, args.cycles, label,
+                nuisance=not args.no_nuisance,
             )
             emit(phase=f"{label}_ll", ll_end=round(float(ll_end), 2))
         emit(phase="done")

@@ -169,23 +169,51 @@ class TestSweepEngine:
         )
         assert eng.slice_capacity == suggest_slice_capacity(sim)
 
+    def test_wide_rows_matches_narrow(self):
+        """Sub-major (wide) gather layout is a pure layout change: same
+        trajectory as the mutation-major layout on both backends."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        key = jax.random.PRNGKey(1)
+        ll0 = None
+        runs = {}
+        for backend in ("full", "sliced"):
+            for wide in (False, True):
+                eng = SweepEngine(
+                    ssim, backend=backend, sample_param=False,
+                    wide_rows=wide,
+                )
+                if ll0 is None:
+                    ll0 = eng.initial_ll(ssim.state, ssim.params)
+                _, _, _, tr = eng.run_cycle(
+                    ssim.state, ssim.params, ll0, key, sample_param=False
+                )
+                runs[(backend, wide)] = tr
+        for backend in ("full", "sliced"):
+            a, b = runs[(backend, False)], runs[(backend, True)]
+            np.testing.assert_array_equal(a["id_fA"], b["id_fA"])
+            np.testing.assert_allclose(
+                a["likelihood"], b["likelihood"], rtol=1e-4, atol=0.5
+            )
+
     def test_auto_backend_resolution(self, sim):
-        """auto -> full when worst-case slices reach ~nnz/8 (measured
-        crossover), sliced on a mesh (the candidate-sharding path)."""
-        from instagraal_tpu.parallel import make_mesh
+        """auto -> unwindowed exact scoring ("full") whenever the
+        worst-case both-endpoint set fits the capacity, windowed
+        ("sliced") otherwise."""
         from instagraal_tpu.sampler import suggest_slice_capacity
 
-        nnz = int(sim.coo_rows.shape[0])
         eng = SweepEngine(sim, backend="auto", sample_param=False)
         expect = (
-            "full" if suggest_slice_capacity(sim) * 8 > nnz else "sliced"
+            "full"
+            if suggest_slice_capacity(sim) <= eng.slice_capacity
+            else "sliced"
         )
         assert eng.backend == expect
-        mesh = make_mesh(n_devices=8, chains=1)
-        eng_m = SweepEngine(
-            sim, backend="auto", sample_param=False, mesh=mesh
+        eng_small = SweepEngine(
+            sim, backend="auto", sample_param=False, slice_capacity=1
         )
-        assert eng_m.backend == "sliced"
+        assert eng_small.backend == "sliced"
 
     def test_sliced_matches_full_quality(self, sim, params):
         """On the toy pipeline problem (multi-sub fragments, windowed
