@@ -129,12 +129,13 @@ def main():
             nb = args.neighbours
             wide = "w" in spec.lstrip("0123456789").replace("full", "")
             spec = spec.replace("w", "")
-            if spec == "full":
+            if spec.startswith("full"):
+                cap = int(spec[4:]) if spec[4:] else None
                 eng = SweepEngine(
                     sim, backend="full", sample_param=True,
-                    n_neighbours=nb, wide_rows=wide,
+                    n_neighbours=nb, wide_rows=wide, slice_capacity=cap,
                 )
-                label = "full"
+                label = f"full{cap or ''}"
             else:
                 trunc = spec.endswith("t")
                 cap = int(spec.rstrip("t"))

@@ -197,23 +197,47 @@ class TestSweepEngine:
                 a["likelihood"], b["likelihood"], rtol=1e-4, atol=0.5
             )
 
+    def test_plain_matches_full(self):
+        """plain (no delta bookkeeping) and full (delta) are both exact
+        and must produce the same trajectory."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        key = jax.random.PRNGKey(1)
+        eng_p = SweepEngine(ssim, backend="plain", sample_param=False)
+        eng_f = SweepEngine(ssim, backend="full", sample_param=False)
+        ll0 = eng_p.initial_ll(ssim.state, ssim.params)
+        _, _, _, tr_p = eng_p.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        _, _, _, tr_f = eng_f.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        np.testing.assert_array_equal(tr_p["id_fA"], tr_f["id_fA"])
+        np.testing.assert_allclose(
+            tr_p["likelihood"], tr_f["likelihood"], rtol=1e-4, atol=0.5
+        )
+
     def test_auto_backend_resolution(self, sim):
-        """auto -> unwindowed exact scoring ("full") whenever the
-        worst-case both-endpoint set fits the capacity, windowed
-        ("sliced") otherwise."""
+        """auto -> plain below the small-problem crossover; otherwise
+        unwindowed exact scoring ("full") whenever the worst-case
+        both-endpoint set fits the capacity, windowed ("sliced")
+        otherwise."""
         from instagraal_tpu.sampler import suggest_slice_capacity
 
+        nnz = int(sim.coo_rows.shape[0])
         eng = SweepEngine(sim, backend="auto", sample_param=False)
-        expect = (
-            "full"
-            if suggest_slice_capacity(sim) <= eng.slice_capacity
-            else "sliced"
-        )
+        if nnz < 16384:
+            expect = "plain"
+        elif suggest_slice_capacity(sim) <= eng.slice_capacity:
+            expect = "full"
+        else:
+            expect = "sliced"
         assert eng.backend == expect
         eng_small = SweepEngine(
             sim, backend="auto", sample_param=False, slice_capacity=1
         )
-        assert eng_small.backend == "sliced"
+        assert eng_small.backend in ("plain", "sliced")
 
     def test_sliced_matches_full_quality(self, sim, params):
         """On the toy pipeline problem (multi-sub fragments, windowed
