@@ -197,6 +197,33 @@ class TestSweepEngine:
                 a["likelihood"], b["likelihood"], rtol=1e-4, atol=0.5
             )
 
+    def test_trans_term_is_data_only(self):
+        """The delta decomposition rests on: a trans pixel's score term
+        equals log10_poisson(v_inter, ob) + v_inter*log10(e) regardless
+        of the endpoints' positions."""
+        import jax.numpy as jnp
+
+        from instagraal_tpu.model.likelihood import LOG10_E, log10_poisson
+        from instagraal_tpu.sampler.device_sweep import pp_from_attrs
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=16, n_contigs=2, seed=0)
+        p = ssim.params
+        rng = np.random.default_rng(0)
+        # arbitrary packed rows with DIFFERENT contig ids (lane 1)
+        ra = jnp.asarray(rng.uniform(0, 500, (32, 8)).astype(np.float32))
+        ca = jnp.asarray(rng.uniform(0, 500, (32, 8)).astype(np.float32))
+        ra = ra.at[:, 1].set(1.0)
+        ca = ca.at[:, 1].set(2.0)
+        data = jnp.asarray(
+            rng.integers(1, 30, 32).astype(np.float32)
+        )
+        pp = pp_from_attrs(ra, ca, data, p, np.float32(5.0))
+        g = log10_poisson(jnp.asarray(p.v_inter), data) + (
+            p.v_inter * LOG10_E
+        )
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(g), rtol=1e-6)
+
     def test_plain_matches_full(self):
         """plain (no delta bookkeeping) and full (delta) are both exact
         and must produce the same trajectory."""
