@@ -72,6 +72,20 @@ def state_from_soa(soa: dict, ori: np.ndarray | None = None) -> FragState:
     """
     n = len(soa["pos"])
 
+    # bp bookkeeping (start_bp, l_cont_bp) is int32; after scaffolding
+    # every fragment can end up in ONE contig, so the whole assembly
+    # length must fit — the same 2^31 limit as the reference's int32
+    # `frag` struct (kernel_sparse_adapt.cu:40-58). Guard here rather
+    # than overflow silently during paste_contigs.
+    total_bp = int(np.asarray(soa["len_bp"], dtype=np.int64).sum())
+    if total_bp >= 2**31:
+        raise OverflowError(
+            f"assembly is {total_bp} bp >= 2^31; int32 bp bookkeeping "
+            "would overflow when contigs merge. Scaffold such genomes "
+            "at a coarser pyramid level per chromosome subset, or "
+            "rescale units."
+        )
+
     def get(name, default=None):
         if name in soa:
             return jnp.asarray(np.asarray(soa[name], dtype=np.int32))

@@ -47,6 +47,33 @@ def _log10_factorial_table() -> np.ndarray:
 _LOG10_FACT = jnp.asarray(_log10_factorial_table(), dtype=jnp.float32)
 
 
+def poisson_norm(ob: np.ndarray) -> np.ndarray:
+    """Data-only normalization of `log10_poisson`, precomputed on host.
+
+    log10_poisson(ex, ob) == ob*log10(ex) - ex - poisson_norm(ob) for
+    every branch of the kernel's per-pixel term (evaluate_likelihood_pxl
+    :251-270): norm(0) = 0 reproduces the ob==0 branch, 0<ob<15 uses the
+    factorial table, ob>=15 the Stirling formula with the kernel's
+    log10/natural unit mixing. Observed counts are constant for a run,
+    so the hot scoring path gathers this instead of re-deriving the
+    factorial/Stirling term per pixel per mutation.
+    """
+    ob = np.asarray(ob, dtype=np.float64)
+    out = np.zeros_like(ob)
+    table = _log10_factorial_table()
+    small = ob < 15.0
+    idx = np.clip(ob[small].astype(np.int64), 0, 14)
+    out[small] = table[idx]
+    big = ~small
+    obb = ob[big]
+    out[big] = (
+        obb * np.log10(obb)
+        - obb
+        + np.log10(np.sqrt(obb * 2.0 * np.pi))
+    )
+    return out.astype(np.float32)
+
+
 def log10_poisson(ex, ob):
     """Per-pixel score (kernel evaluate_likelihood_pxl_double :251-270)."""
     ob_f = ob.astype(jnp.float32) if hasattr(ob, "astype") else jnp.float32(ob)

@@ -91,3 +91,35 @@ def expected_counts(s, s_tot, p: RippeParams):
         rippe_contacts(s, p),
         rippe_contacts_circ(s, s_tot, p),
     )
+
+
+def expected_counts_fast(s, s_tot, p: RippeParams):
+    """Single-transcendental form of `expected_counts`.
+
+    The two kernel branches collapse algebraically: with K = lm/kuhn,
+
+      linear   = 0.53 * kuhn^-3 * fact * f(s*K)
+      circular =        kuhn^-3 * fact * f(K*s*(s_tot-s)/s_tot)
+
+    where f(x) = x^slope * exp((d-2)/(x^2+d)) — because
+    c1*s^slope = 0.53*(K^slope)*kuhn^-3*s^slope = 0.53*kuhn^-3*(sK)^slope.
+    One pow + one exp instead of the dispatch's two of each (`jnp.where`
+    evaluates both branches). Equal to `expected_counts` up to float32
+    association (~1e-7 relative); the hot scoring path uses this form,
+    reference-spec code paths keep the branch-exact `expected_counts`.
+    """
+    K = p.lm / p.kuhn
+    circ = s_tot > 0
+    s_tot_safe = jnp.where(circ, s_tot, 1.0)
+    x = s * K * jnp.where(circ, (s_tot_safe - s) / s_tot_safe, 1.0)
+    x_safe = jnp.where(x > 0, x, 1.0)
+    w = jnp.where(circ, 1.0, 0.53)
+    val = (
+        w
+        * jnp.power(p.kuhn, -3.0)
+        * p.fact
+        * jnp.power(x_safe, p.slope)
+        * jnp.exp((p.d - 2.0) / (jnp.square(x_safe) + p.d))
+    )
+    result = jnp.where((s > 0.0) & (s < p.d_max), val, 0.0)
+    return jnp.maximum(result, p.v_inter)

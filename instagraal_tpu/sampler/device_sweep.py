@@ -11,6 +11,17 @@ Performance design (see docs/DESIGN.md):
 - Sub-fragment geometry is packed into one [n_sub, 8] f32 matrix
   (lanes: pos_bp, id_c, s_tot, pos, l_cont) so per-pixel gathers fetch
   one contiguous 32-byte row instead of five scattered scalars.
+- Per-pixel scoring uses the single-transcendental Rippe form
+  (`expected_counts_fast`) and a precomputed data-only Poisson
+  normalization (`poisson_norm` — observed counts never change), so the
+  per-pixel math is 1 pow + 1 exp + 1 log10 per expectation instead of
+  the branch-dispatched ~10 transcendentals of the spec form.
+- The n_neighbours candidate pairs of a step are scored by `jax.vmap`
+  (not `lax.map`, which lowers to a serial loop): the 24-way mutated
+  states, their sub-fragment projections, and all O(nnz) mask/compact
+  work batch over a leading candidate axis, and the accepted move is
+  *selected* from the already-built [n_cand, 24] state stack instead of
+  being re-generated.
 - The per-pixel score vector pp_cur[nnz] of the *current* genome is
   carried through the scan and updated incrementally: after an accepted
   move, only the pixels with both endpoints in the two affected contigs
@@ -29,6 +40,10 @@ Performance design (see docs/DESIGN.md):
   windowing; "full" (the default where it fits) is unwindowed = exact.
   score = nz_total - sum(pp_cur*touch) + sum(g_trans*(touch-both))
           + nz_both_mut + zeros_mut.
+- Oversized slices are re-scored exactly through one step-level
+  `lax.cond` over *all* candidates (any candidate overflowing triggers
+  a full-matrix pass whose result replaces only the overflowed rows) —
+  vmap-compatible, so multi-chain execution keeps exact scoring.
 
 Neighbour sampling uses a per-fragment top-K contact table with Gumbel
 top-k sampling (device-side analogue of the reference's host
@@ -47,8 +62,8 @@ import numpy as np
 
 from ..core.moves import N_MUTATIONS, all_candidate_states, renumber_contigs
 from ..core.state import FragState
-from ..model.likelihood import LOG10_E, log10_poisson
-from ..model.rippe import RippeParams, expected_counts
+from ..model.likelihood import LOG10_E, log10_poisson, poisson_norm
+from ..model.rippe import RippeParams, expected_counts, expected_counts_fast
 
 PACK = 8  # packed attribute row width (5 used lanes, padded to 8)
 
@@ -156,10 +171,12 @@ def project_packed(state: FragState, idx) -> jnp.ndarray:
 
 
 def pp_from_attrs(ra, ca, data, p: RippeParams, msf):
-    """Per-pixel scoring term from packed attribute rows.
+    """Per-pixel scoring term from packed attribute rows (spec form).
 
     ra/ca: [..., PACK] row/col attributes; data: [...] observed counts.
-    Same math as evaluate_likelihood_sparse (kernel :4374).
+    Same math as evaluate_likelihood_sparse (kernel :4374). The hot path
+    uses `pp_rows_fast` (algebraically equal, fewer transcendentals);
+    this branch-exact form is kept as the executable spec.
     """
     cis = ra[..., 1] == ca[..., 1]
     s = jnp.abs(ra[..., 0] - ca[..., 0])
@@ -172,6 +189,32 @@ def pp_from_attrs(ra, ca, data, p: RippeParams, msf):
     return log10_poisson(ex, data) + ex_z * LOG10_E
 
 
+def pp_rows_fast(ra, ca, dn, p: RippeParams, msf):
+    """Per-pixel scoring term, fast form.
+
+    ra/ca: [..., PACK] packed endpoint rows; dn: [..., 2] rows of
+    (observed count, poisson_norm(count)). Equal to `pp_from_attrs` up
+    to f32 association: uses the unified single-transcendental Rippe
+    form and the precomputed data-only Poisson normalization.
+    """
+    data = dn[..., 0]
+    norm = dn[..., 1]
+    cis = ra[..., 1] == ca[..., 1]
+    s = jnp.abs(ra[..., 0] - ca[..., 0])
+    s_z = jnp.abs(ra[..., 3] - ca[..., 3]) * msf
+    circ = ra[..., 2] > 0
+    s_tot = jnp.where(circ, ra[..., 2], 0.0)
+    s_tot_z = jnp.where(circ, ra[..., 4] * msf, 0.0)
+    ex = jnp.where(cis, expected_counts_fast(s, s_tot, p), p.v_inter)
+    ex_z = jnp.where(cis, expected_counts_fast(s_z, s_tot_z, p), p.v_inter)
+    return (
+        data * jnp.log10(jnp.maximum(ex, 1e-38))
+        - ex
+        - norm
+        + ex_z * LOG10_E
+    )
+
+
 def zeros_from_packed(packed, p: RippeParams, msf, n_pix_total):
     """Analytic zeros term from packed attributes (kernel :3850)."""
     pos = packed[:, 3]
@@ -180,6 +223,22 @@ def zeros_from_packed(packed, p: RippeParams, msf, n_pix_total):
     s = pos * msf
     s_tot_z = jnp.where(circ, l_cont * msf, 0.0)
     ex = expected_counts(s, s_tot_z, p)
+    intra = jnp.sum(jnp.where(pos > 0, -ex * (l_cont - pos), 0.0))
+    n_intra = jnp.sum(
+        jnp.where(pos == 0, l_cont * (l_cont - 1.0) / 2.0, 0.0)
+    )
+    inter = (n_pix_total - n_intra) * (-p.v_inter)
+    return LOG10_E * (intra + inter)
+
+
+def zeros_packed_fast(packed, p: RippeParams, msf, n_pix_total):
+    """`zeros_from_packed` with the single-transcendental Rippe form."""
+    pos = packed[:, 3]
+    l_cont = packed[:, 4]
+    circ = packed[:, 2] > 0
+    s = pos * msf
+    s_tot_z = jnp.where(circ, l_cont * msf, 0.0)
+    ex = expected_counts_fast(s, s_tot_z, p)
     intra = jnp.sum(jnp.where(pos > 0, -ex * (l_cont - pos), 0.0))
     n_intra = jnp.sum(
         jnp.where(pos == 0, l_cont * (l_cont - 1.0) / 2.0, 0.0)
@@ -302,20 +361,22 @@ class SweepEngine:
         mutations per step and a v5e-8 evaluates 8+ candidates at the
         single-candidate wall cost.
 
-        exact_overflow: when True (default), a candidate whose touched
-        slice exceeds ``slice_capacity`` is re-scored exactly with a
-        full-matrix pass (`lax.cond` fallback) instead of truncated, so
-        any capacity is safe — smaller caps only cost occasional full
-        recomputes. MultiChainSweep sets this False: under `jax.vmap`
-        the cond lowers to a select that evaluates BOTH branches every
-        step, which would defeat sliced scoring entirely.
+        exact_overflow: when True (default), any candidate whose
+        touched slice exceeds ``slice_capacity`` triggers one exact
+        full-matrix scoring pass for the step (`lax.cond`), whose rows
+        replace the overflowed candidates' scores — so any capacity is
+        safe; smaller caps only cost occasional full recomputes. The
+        cond predicate aggregates over the whole candidate batch, so
+        this stays a real branch under the per-step scan *and* remains
+        correct (select of two exact values) under vmap.
 
         wide_rows: gather candidate attributes in sub-major layout
         ([n_sub, 24, 8]: one 768B gather per pixel-endpoint fetches all
         24 mutations) instead of mutation-major ([24, n_sub, 8]: 24
         separate 32B-row gathers). Candidate scoring is gather
         issue-rate bound (~0.6ns/row measured on v5e), so fewer, wider
-        gathers trade issue count for bytes."""
+        gathers trade issue count for bytes. Measured slower (see
+        DESIGN.md) — kept as a documented negative result."""
         self.sim = sim
         self.mesh = mesh
         nnz = int(sim.coo_rows.shape[0])
@@ -362,6 +423,11 @@ class SweepEngine:
         idx = sim.sub_index
         rows, cols = sim.coo_rows, sim.coo_cols
         data = sim.coo_data
+        # (count, poisson_norm(count)) rows: one 8-byte gather fetches
+        # both the observation and its precomputed normalization
+        data_norm = jnp.stack(
+            [data, jnp.asarray(poisson_norm(np.asarray(data)))], axis=1
+        )
         msf = np.float32(sim.mean_size_frag_kb)
         n_pix = np.float32(sim.n_pix_total)
         n_cand = n_neighbours
@@ -378,14 +444,15 @@ class SweepEngine:
         def _pp_all(packed, params):
             ra = packed[rows]
             ca = packed[cols]
-            return pp_from_attrs(ra, ca, data, params, msf)
+            return pp_rows_fast(ra, ca, data_norm, params, msf)
 
         def _nz24_all(packed24, params):
             """Total nz log-likelihood for each of 24 mutated genomes."""
             if wide_rows:
                 wide = jnp.swapaxes(packed24, 0, 1)  # [n_sub, 24, PACK]
-                pp = pp_from_attrs(
-                    wide[rows], wide[cols], data[:, None], params, msf
+                pp = pp_rows_fast(
+                    wide[rows], wide[cols], data_norm[:, None, :],
+                    params, msf,
                 )  # [nnz, 24]
                 return jnp.sum(pp, axis=0)
             return jax.vmap(
@@ -410,33 +477,28 @@ class SweepEngine:
         #          + sum(g_trans * (touch - both))            # single-in
         #          + sum_m pp(gathered both-in pixels)        # re-score
         #          + zeros(m)
-        # with g_trans[i] = log10_poisson(v_inter, data[i]) +
+        # with g_trans[i] = data_i*log10(v_inter) - v_inter - norm_i +
         # v_inter*log10(e), precomputed once per step.
         windowed = backend == "sliced"
         plain = backend == "plain"
 
-        def score_candidate(ctx, pair):
+        def gen_candidate(ctx, pair):
+            """The 24 mutated states + packed projections for one pair."""
             (state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
              ll_nz_cur, id_fA, max_id, params) = ctx
             id_fB, is_first = pair
-            if plain:
-                # tiny problems: the delta bookkeeping (masks,
-                # compaction, cond) costs more than it saves — score all
-                # nnz pixels for the 24 mutations directly
-                stacked, valid = all_candidate_states(
-                    state, id_fA, id_fB, max_id, flip_eject=is_first
-                )
-                packed24 = jax.vmap(
-                    lambda s: project_packed(s, idx)
-                )(stacked)
-                nz24 = _nz24_all(packed24, params)
-                z = jax.vmap(
-                    lambda pk: zeros_from_packed(pk, params, msf, n_pix)
-                )(packed24)
-                return (
-                    jnp.where(valid, nz24 + z, -jnp.inf),
-                    jnp.asarray(0, dtype=jnp.int32),
-                )
+            stacked, valid = all_candidate_states(
+                state, id_fA, id_fB, max_id, flip_eject=is_first
+            )
+            packed24 = jax.vmap(
+                lambda s: project_packed(s, idx)
+            )(stacked)
+            return stacked, packed24, valid
+
+        def delta_candidate(ctx, id_fB, packed24):
+            """cis/trans-split delta nz scores for one candidate pair."""
+            (state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
+             ll_nz_cur, id_fA, max_id, params) = ctx
             cA = state.id_c[id_fA].astype(jnp.float32)
             cB = state.id_c[id_fB].astype(jnp.float32)
             row_in = (row_c == cA) | (row_c == cB)
@@ -470,85 +532,104 @@ class SweepEngine:
             w = (jnp.arange(cap) < n_sel).astype(jnp.float32)
             b_rows = rows[b_idx]
             b_cols = cols[b_idx]
-            b_data = data[b_idx]
+            b_dn = data_norm[b_idx]
 
-            stacked, valid = all_candidate_states(
-                state, id_fA, id_fB, max_id, flip_eject=is_first
-            )
-            packed24 = jax.vmap(
-                lambda s: project_packed(s, idx)
-            )(stacked)
+            if wide_rows:
+                wide = jnp.swapaxes(packed24, 0, 1)  # [n_sub, 24, PACK]
+                pp24 = pp_rows_fast(
+                    wide[b_rows], wide[b_cols],
+                    b_dn[:, None, :], params, msf,
+                )  # [cap, 24]
+                nz_both = jnp.sum(pp24 * w[:, None], axis=0)
+            else:
+                ra = jnp.take(packed24, b_rows, axis=1)  # [24, cap, PACK]
+                ca = jnp.take(packed24, b_cols, axis=1)
+                pp24 = pp_rows_fast(
+                    ra, ca, b_dn[None, :, :], params, msf
+                )
+                nz_both = jnp.sum(pp24 * w[None, :], axis=1)
+            nz24 = ll_nz_cur - cur_slice + g_single + nz_both
+            return nz24, n_sel
 
-            def nz_delta(pk24):
-                if wide_rows:
-                    wide = jnp.swapaxes(pk24, 0, 1)  # [n_sub, 24, PACK]
-                    pp24 = pp_from_attrs(
-                        wide[b_rows], wide[b_cols],
-                        b_data[:, None], params, msf,
-                    )  # [cap, 24]
-                    nz_both = jnp.sum(pp24 * w[:, None], axis=0)
+        def score_all(ctx, cand, first):
+            """Generate + score every candidate pair of the step.
+
+            Returns (stacked [n_cand,24,...] states, packed
+            [n_cand,24,n_sub,PACK], scores [n_cand,24], n_sel [n_cand]).
+            """
+            params = ctx[-1]
+
+            def local(cand_l, first_l, ctx_l):
+                stacked, packed, valid = jax.vmap(
+                    lambda b, f: gen_candidate(ctx_l, (b, f))
+                )(cand_l, first_l)
+                if plain:
+                    nz = jax.vmap(
+                        lambda pk: _nz24_all(pk, ctx_l[-1])
+                    )(packed)
+                    n_sel = jnp.zeros(cand_l.shape[0], dtype=jnp.int32)
                 else:
-                    ra = jnp.take(pk24, b_rows, axis=1)  # [24, cap, PACK]
-                    ca = jnp.take(pk24, b_cols, axis=1)
-                    pp24 = pp_from_attrs(
-                        ra, ca, b_data[None, :], params, msf
-                    )
-                    nz_both = jnp.sum(pp24 * w[None, :], axis=1)
-                return ll_nz_cur - cur_slice + g_single + nz_both
+                    nz, n_sel = jax.vmap(
+                        lambda b, pk: delta_candidate(ctx_l, b, pk)
+                    )(cand_l, packed)
+                return stacked, packed, valid, nz, n_sel
 
-            def nz_full(pk24):
-                return _nz24_all(pk24, params)
-
-            if exact_overflow:
-                nz24 = jax.lax.cond(
-                    n_sel > cap, nz_full, nz_delta, packed24
+            if mesh is None:
+                stacked, packed, valid, nz, n_sel = local(
+                    cand, first, ctx
                 )
             else:
-                nz24 = nz_delta(packed24)
-            z = jax.vmap(
-                lambda pk: zeros_from_packed(pk, params, msf, n_pix)
-            )(packed24)
-            return jnp.where(valid, nz24 + z, -jnp.inf), n_sel
+                from jax.sharding import PartitionSpec as P
 
-        def score_fn(ctx, cand, first):
-            if mesh is None:
-                scores, n_sel = jax.lax.map(
-                    lambda pair: score_candidate(ctx, pair),
-                    (cand, first),
+                try:
+                    from jax import shard_map
+                except ImportError:  # older jax
+                    from jax.experimental.shard_map import shard_map
+
+                stacked, packed, valid, nz, n_sel = shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P("shards"), P("shards"), P()),
+                    out_specs=P("shards"),
+                    check_vma=False,
+                )(cand, first, ctx)
+
+            if exact_overflow and not plain:
+                # one exact full-matrix pass for the whole candidate
+                # batch when any slice overflows; its rows replace only
+                # the overflowed candidates. Aggregating the predicate
+                # over candidates keeps this a real branch in the scan
+                # and an exact select under vmap.
+                over = n_sel > cap
+
+                def full_all(pk):
+                    return jax.vmap(
+                        lambda pk24: _nz24_all(pk24, params)
+                    )(pk)
+
+                nz_full = jax.lax.cond(
+                    jnp.any(over), full_all, lambda pk: nz, packed
                 )
-                return scores, jnp.sum(n_sel > cap), jnp.max(n_sel)
-            from jax.sharding import PartitionSpec as P
+                nz = jnp.where(over[:, None], nz_full, nz)
 
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
-
-            def local(c, fst, ctx_):
-                return jax.lax.map(
-                    lambda pair: score_candidate(ctx_, pair),
-                    (c, fst),
+            zeros = jax.vmap(
+                jax.vmap(
+                    lambda pk: zeros_packed_fast(pk, params, msf, n_pix)
                 )
-
-            scores, n_sel = shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(P("shards"), P("shards"), P()),
-                out_specs=P("shards"),
-                check_vma=False,
-            )(cand, first, ctx)
-            return scores, jnp.sum(n_sel > cap), jnp.max(n_sel)
+            )(packed)
+            scores = jnp.where(valid, nz + zeros, -jnp.inf)
+            return stacked, packed, scores, n_sel
 
         # --- exact incremental pp_cur update after an accepted move --
         def update_pp(
-            new_state, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
+            new_packed, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
             params,
         ):
             """Re-score exactly the pixels whose pp can change under the
             accepted move — those with BOTH endpoints in the affected
             contigs (old labels): single-endpoint pixels are trans both
             before and after, so their term is untouched (see
-            score_candidate). Full-recompute fallback when the update
+            delta_candidate). Full-recompute fallback when the update
             set overflows."""
             row_in = (row_c == cA) | (row_c == cB)
             col_in = (col_c == cA) | (col_c == cB)
@@ -556,10 +637,9 @@ class SweepEngine:
             (upd_idx,) = jnp.nonzero(touch, size=cap_upd, fill_value=0)
             n_upd = jnp.sum(touch)
             w = (jnp.arange(cap_upd) < n_upd).astype(jnp.float32)
-            new_packed = project_packed(new_state, idx)
             ra = new_packed[rows[upd_idx]]
             ca = new_packed[cols[upd_idx]]
-            pp_new = pp_from_attrs(ra, ca, data[upd_idx], params, msf)
+            pp_new = pp_rows_fast(ra, ca, data_norm[upd_idx], params, msf)
             old_vals = pp_cur[upd_idx]
             merged = jnp.where(w > 0, pp_new, old_vals)
             pp_fast = pp_cur.at[upd_idx].set(merged)
@@ -614,7 +694,7 @@ class SweepEngine:
             )
             pp_test = _pp_all(packed, test)
             nz_test = jnp.sum(pp_test)
-            ll_test = nz_test + zeros_from_packed(packed, test, msf, n_pix)
+            ll_test = nz_test + zeros_packed_fast(packed, test, msf, n_pix)
             accept = jnp.exp(
                 jnp.clip(ll_test - ll_t, -50.0, 50.0)
             ) >= jax.random.uniform(k_acc, ())
@@ -648,10 +728,13 @@ class SweepEngine:
             col_cp = cp[cols]
             row_c, row_p = row_cp[:, 0], row_cp[:, 1]
             col_c, col_p = col_cp[:, 0], col_cp[:, 1]
-            # flat trans score term, data-only (see score_candidate)
+            # flat trans score term, data-only (see delta_candidate)
+            v = jnp.asarray(params.v_inter)
             g_trans = (
-                log10_poisson(jnp.asarray(params.v_inter), data)
-                + params.v_inter * LOG10_E
+                data_norm[:, 0] * jnp.log10(jnp.maximum(v, 1e-38))
+                - v
+                - data_norm[:, 1]
+                + v * LOG10_E
             )
 
             cand = jnp.sort(
@@ -662,36 +745,38 @@ class SweepEngine:
                 state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
                 ll_nz_cur, id_fA, max_id, params,
             )
-            scores, n_overflow, slice_max = score_fn(ctx, cand, first)
+            stacked, packed_c, scores, n_sel = score_all(ctx, cand, first)
+            n_overflow = jnp.sum(n_sel > cap)
+            slice_max = jnp.max(n_sel)
             flat = scores.reshape(-1)
             best = jnp.argmax(flat)
-            id_fB = cand[best // N_MUTATIONS]
+            cand_i = best // N_MUTATIONS
             op = best % N_MUTATIONS
+            id_fB = cand[cand_i]
 
             cA = state.id_c[id_fA].astype(jnp.float32)
             cB = state.id_c[id_fB].astype(jnp.float32)
-            stacked, _ = all_candidate_states(
-                state, id_fA, id_fB, max_id, flip_eject=True
-            )
-            new_state = jax.tree.map(lambda a: a[op], stacked)
+            # select the accepted state/projection from the candidate
+            # stack instead of re-generating the 24 mutations
+            new_state = jax.tree.map(lambda a: a[cand_i, op], stacked)
+            new_packed = packed_c[cand_i, op]
 
             pp_cur, ll_nz_cur = update_pp(
-                new_state, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
+                new_packed, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
                 params,
             )
 
-            new_packed = project_packed(new_state, idx)
             # carried likelihood comes from the exactly-updated pixel
             # cache + the analytic zeros term, not from the accepted
             # candidate's slice score: windowing/truncation can then
             # only affect which move wins the argmax, never the
             # likelihood trajectory itself.
-            ll_t = ll_nz_cur + zeros_from_packed(
+            ll_t = ll_nz_cur + zeros_packed_fast(
                 new_packed, params, msf, n_pix
             )
             # lax.cond so steps with the nuisance MH disabled skip its
             # full-matrix pass at runtime (under the scan the cond is a
-            # real branch; under MultiChainSweep's vmap it lowers to a
+            # real branch; under a chain-vmap it lowers to a
             # both-branches select, which is no worse than the
             # unconditional call it replaces)
             def with_nuis(_):
@@ -752,7 +837,7 @@ class SweepEngine:
         @jax.jit
         def _initial_ll(state, params):
             packed = project_packed(state, idx)
-            return jnp.sum(_pp_all(packed, params)) + zeros_from_packed(
+            return jnp.sum(_pp_all(packed, params)) + zeros_packed_fast(
                 packed, params, msf, n_pix
             )
 
@@ -791,22 +876,15 @@ class MultiChainSweep:
     per device call, with no host synchronisation inside a cycle. This is
     the v5e-8 scaling path for wall-clock-to-solution: chains explore
     independently and the best final genome wins (SURVEY.md §2.3).
+
+    Scoring stays exact under the chain vmap: the engine's overflow
+    fallback is a step-level cond over the whole candidate batch, which
+    vmap lowers to a select between two exact scorings.
     """
 
     def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if engine.exact_overflow and engine.backend != "plain":
-            import warnings
-
-            warnings.warn(
-                "MultiChainSweep over an engine with "
-                "exact_overflow=True: vmap lowers the overflow cond to a "
-                "select that evaluates the full-matrix branch every step. "
-                "Build the engine with exact_overflow=False for "
-                "multi-chain runs.",
-                stacklevel=2,
-            )
         self.engine = engine
         self.mesh = mesh
         self.n_chains = n_chains

@@ -394,16 +394,52 @@ class TestMultiChainSweep:
         assert ll == lls.max()
         assert best.pos.shape == (sim.n_frags,)
 
-    def test_warns_on_exact_overflow_engine(self, sim):
-        """vmap lowers the overflow cond to a both-branches select, so
-        multi-chain over an exact_overflow engine must warn."""
-        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+    def test_exact_overflow_chain_matches_single(self):
+        """Multi-chain scoring is exact even when slices overflow the
+        capacity: the step-level overflow cond lowers to a select of two
+        exact scorings under the chain vmap, so a chain seeded like a
+        single-chain run follows the same trajectory (VERDICT r1 #3)."""
+        import jax.numpy as jnp
 
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        # capacity far below the real slices: every step overflows
         engine = SweepEngine(
-            sim, backend="sliced", sample_param=False, exact_overflow=True
+            ssim, backend="sliced", sample_param=False, slice_capacity=4,
+            exact_overflow=True,
         )
-        with pytest.warns(UserWarning, match="exact_overflow"):
-            MultiChainSweep(engine, n_chains=2)
+        eng_full = SweepEngine(ssim, backend="full", sample_param=False)
+        ll0 = eng_full.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(5)
+        _, _, _, tr_ref = eng_full.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        assert tr_ref is not None
+
+        mc = MultiChainSweep(engine, n_chains=2)
+        states = mc.broadcast_state(ssim.state)
+        lls = np.full(2, ll0)
+        keys_used = jax.random.split(key, 2)
+        # run the chains with the same key the single-chain run used in
+        # chain slot 0 by calling the vmapped cycle directly
+        states2, p_all, lls2, tr_mc = mc._cycle_all(
+            states,
+            jax.tree.map(jnp.asarray, ssim.params),
+            jnp.asarray(lls, dtype=jnp.float32),
+            jnp.stack([key, keys_used[1]]),
+            np.full(engine.n_frags, False),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tr_mc["id_fA"])[0], tr_ref["id_fA"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr_mc["likelihood"])[0],
+            tr_ref["likelihood"],
+            rtol=1e-4,
+            atol=0.5,
+        )
 
 
 class TestShardedCandidates:

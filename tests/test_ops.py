@@ -442,3 +442,36 @@ class TestAllCandidates:
             k = int(rng.choice(choices))
             st = jax.tree.map(lambda x: x[k], stacked)
             assert_consistent(st)
+
+
+class TestBpOverflowGuard:
+    def test_state_from_soa_rejects_over_2gb(self):
+        """int32 bp bookkeeping overflows once contigs merge past 2^31
+        bp; loading such an assembly must fail loudly (VERDICT r1 #9)."""
+        import numpy as np
+        import pytest
+
+        from instagraal_tpu.core.state import state_from_soa
+
+        n = 4
+        soa = {
+            "pos": np.zeros(n, dtype=np.int64),
+            "sub_pos": np.zeros(n, dtype=np.int64),
+            "id_c": np.arange(n, dtype=np.int64),
+            "start_bp": np.zeros(n, dtype=np.int64),
+            "len_bp": np.full(n, 600_000_000, dtype=np.int64),
+            "sub_len": np.ones(n, dtype=np.int64),
+            "circ": np.zeros(n, dtype=np.int64),
+            "prev": np.full(n, -1, dtype=np.int64),
+            "next": np.full(n, -1, dtype=np.int64),
+            "l_cont": np.ones(n, dtype=np.int64),
+            "sub_l_cont": np.ones(n, dtype=np.int64),
+            "l_cont_bp": np.full(n, 600_000_000, dtype=np.int64),
+        }
+        with pytest.raises(OverflowError, match="2\\^31"):
+            state_from_soa(soa)
+
+        # just under the limit loads fine
+        soa["len_bp"] = np.full(n, 500_000_000, dtype=np.int64)
+        st = state_from_soa(soa)
+        assert st.n_frags == n

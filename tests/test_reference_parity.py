@@ -1,0 +1,302 @@
+"""Differential parity tests against the reference implementation.
+
+The CUDA-free prefix of the reference (pyramid construction, Rippe curve
+fit, bounded least squares) imports cleanly from /root/reference/src; these
+tests run reference code and ours on SHARED inputs and compare outputs,
+verifying the interoperability claims (identical pyramid file layout,
+pyramid/build.py:11-18) instead of asserting them (VERDICT r1 #5).
+
+The one known behavioural deviation is asserted explicitly: the reference
+drops the first data line of the previous level's contact file at every
+re-binning step (pyramid_sparse.py:679-683 reads the header with
+readline() and then iterates from all_lines[1]); we keep every pixel.
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF_SRC = "/root/reference/src"
+
+
+@pytest.fixture(scope="module")
+def ref_instagraal():
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import instagraal.leastsqbound as ref_lsb
+    import instagraal.optim_rippe_curve_update as ref_opti
+    import instagraal.pyramid_sparse as ref_pyr
+
+    return {"pyr": ref_pyr, "opti": ref_opti, "lsb": ref_lsb}
+
+
+# ---------------------------------------------------------------------------
+# Rippe curve fit
+# ---------------------------------------------------------------------------
+
+
+class TestRippeFitParity:
+    def _bins(self, seed=0):
+        rng = np.random.default_rng(seed)
+        x = np.linspace(2.0, 400.0, 60)
+        true = 120.0 * 0.53 * 50.0**-3 * np.power(
+            9.6 * x / 50.0, -1.4
+        ) * np.exp(0.0)
+        y = true * np.exp(rng.normal(0, 0.05, x.shape))
+        return y * 7.0, x  # reference divides by lower_fact=7 internally
+
+    def test_estimate_param_rippe_matches(self, ref_instagraal):
+        from instagraal_tpu.model.fit import estimate_param_rippe
+
+        y, x = self._bins()
+        ours, y_est_ours = estimate_param_rippe(y, x)
+        ref, y_est_ref = ref_instagraal["opti"].estimate_param_rippe(y, x)
+        # same scipy.leastsq problem from the same inits: identical fits
+        np.testing.assert_allclose(ours, np.asarray(ref), rtol=1e-6)
+        np.testing.assert_allclose(y_est_ours, y_est_ref, rtol=1e-6)
+
+    def test_degenerate_fit_fallback_matches(self, ref_instagraal):
+        from instagraal_tpu.model.fit import estimate_param_rippe
+
+        # flat data drives slope >= 0: both implementations must take
+        # the rescale fallback (reference :97-104)
+        y = np.full(30, 5.0)
+        x = np.linspace(2.0, 100.0, 30)
+        ours, _ = estimate_param_rippe(y, x)
+        ref, _ = ref_instagraal["opti"].estimate_param_rippe(y, x)
+        np.testing.assert_allclose(ours, np.asarray(ref), rtol=1e-6)
+
+    def test_max_dist_intra_matches(self, ref_instagraal):
+        from instagraal_tpu.model.fit import estimate_max_dist_intra
+
+        param = [50.0, 9.6, -1.5, 2.0, 2.0e6]
+        v_inter = 0.05
+        ours = estimate_max_dist_intra(param, v_inter)
+        ref = ref_instagraal["opti"].estimate_max_dist_intra(param, v_inter)
+        assert ours == pytest.approx(float(ref), rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Bounded least squares (leastsqbound)
+# ---------------------------------------------------------------------------
+
+
+class TestLeastsqboundParity:
+    BOUNDS = [
+        (None, None),
+        (0.5, None),
+        (None, 8.0),
+        (0.1, 10.0),
+    ]
+
+    def test_transforms_match(self, ref_instagraal):
+        from instagraal_tpu.model.leastsqbound import (
+            external2internal,
+            internal2external,
+        )
+
+        ref = ref_instagraal["lsb"]
+        xe = np.array([1.3, 2.0, 4.0, 5.0])
+        xi_ours = external2internal(xe, self.BOUNDS)
+        xi_ref = ref.external2internal(xe, self.BOUNDS)
+        np.testing.assert_allclose(xi_ours, xi_ref, rtol=1e-12)
+        back_ours = internal2external(xi_ours, self.BOUNDS)
+        back_ref = ref.internal2external(np.asarray(xi_ref), self.BOUNDS)
+        np.testing.assert_allclose(back_ours, back_ref, rtol=1e-12)
+        np.testing.assert_allclose(back_ours, xe, rtol=1e-10)
+
+    def test_bounded_fit_matches(self, ref_instagraal):
+        from instagraal_tpu.model.leastsqbound import leastsqbound
+
+        rng = np.random.default_rng(3)
+        x = np.linspace(0, 10, 50)
+        y = 3.0 * np.exp(-0.4 * x) + rng.normal(0, 0.01, x.shape)
+
+        def resid(p, x, y):
+            return y - p[0] * np.exp(-p[1] * x)
+
+        bounds = [(0.0, 10.0), (0.0, 2.0)]
+        p_ours, _ = leastsqbound(
+            resid, [1.0, 1.0], bounds=bounds, args=(x, y)
+        )
+        p_ref, _ = ref_instagraal["lsb"].leastsqbound(
+            resid, [1.0, 1.0], bounds=bounds, args=(x, y)
+        )
+        np.testing.assert_allclose(p_ours, p_ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pyramid construction
+# ---------------------------------------------------------------------------
+
+
+N_LEVELS = 3
+FACTOR = 3
+
+
+@pytest.fixture(scope="module")
+def built_pyramids(ref_instagraal, toy_pre, tmp_path_factory):
+    """Run reference build() and ours on the same pre output."""
+    import h5py
+
+    from instagraal_tpu.pyramid.build import build as our_build
+
+    ref_out = tmp_path_factory.mktemp("ref_pyr")
+    our_out = tmp_path_factory.mktemp("our_pyr")
+    ref_instagraal["pyr"].build(
+        str(toy_pre["dir"]), N_LEVELS, FACTOR, 1, output_folder=str(ref_out)
+    )
+    our_build(toy_pre["dir"], N_LEVELS, FACTOR, 1, output_folder=our_out)
+    name = f"pyramid_{N_LEVELS}_no_thresh"
+    return {
+        "ref": ref_out / "pyramids" / name,
+        "ours": our_out / "pyramids" / name,
+        "h5py": h5py,
+    }
+
+
+def _read_contacts(path):
+    df = pd.read_csv(path, sep="\t")
+    df.columns = ["fa", "fb", "nc"]
+    return df
+
+
+def _read_table(path):
+    return pd.read_csv(path, sep="\t")
+
+
+class TestPyramidParity:
+    def test_level0_files_identical(self, built_pyramids):
+        ref = built_pyramids["ref"] / "level_0"
+        ours = built_pyramids["ours"] / "level_0"
+        for stem in ("contig_info", "fragments_list"):
+            a = _read_table(ref / f"0_{stem}.txt")
+            b = _read_table(ours / f"0_{stem}.txt")
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        a = _read_contacts(ref / "0_abs_frag_contacts.txt")
+        b = _read_contacts(ours / "0_abs_frag_contacts.txt")
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_binned_fragment_tables_identical(self, built_pyramids):
+        """Fragment/contig binning (3x, min_bin_per_contig) is unaffected
+        by the reference's dropped-contact-line bug: exact equality."""
+        for level in range(1, N_LEVELS):
+            ref = built_pyramids["ref"] / f"level_{level}"
+            ours = built_pyramids["ours"] / f"level_{level}"
+            for stem in ("contig_info", "fragments_list"):
+                a = _read_table(ref / f"{level}_{stem}.txt")
+                b = _read_table(ours / f"{level}_{stem}.txt")
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_sub_2_super_index_identical(self, built_pyramids):
+        for level in range(N_LEVELS - 1):
+            name = f"{level}_sub_2_super_index_frag.txt"
+            a = np.loadtxt(
+                built_pyramids["ref"] / f"level_{level}" / name,
+                skiprows=1,
+            )
+            b = np.loadtxt(
+                built_pyramids["ours"] / f"level_{level}" / name,
+                skiprows=1,
+            )
+            np.testing.assert_array_equal(a, b)
+
+    def test_binned_contacts_differ_only_by_dropped_lines(
+        self, built_pyramids
+    ):
+        """Pixel-exact parity modulo the documented deviation: at each
+        re-binning the reference drops the first data line of the
+        previous level's contacts (pyramid_sparse.py:679-683). Carrying
+        the dropped pixels forward through the reference's own
+        sub_2_super index must reproduce its contact files exactly from
+        ours."""
+        # dropped contributions, in current-level fragment ids
+        dropped = pd.DataFrame({"fa": [], "fb": [], "nc": []})
+        for level in range(1, N_LEVELS):
+            # the line dropped while binning to this level is the first
+            # data line of the REFERENCE's previous-level file (its own
+            # row order, which already embodies earlier drops)
+            first = _read_contacts(
+                built_pyramids["ref"]
+                / f"level_{level - 1}"
+                / f"{level - 1}_abs_frag_contacts.txt"
+            ).iloc[[0]]
+            dropped = pd.concat([_subtract_nothing(dropped), first])
+            # map dropped pixels into this level's ids
+            s2s = np.loadtxt(
+                built_pyramids["ref"]
+                / f"level_{level - 1}"
+                / f"{level - 1}_sub_2_super_index_frag.txt",
+                skiprows=1,
+            ).astype(np.int64)
+            # file rows are (current_id, super_id), BOTH 1-based
+            # (pyramid_sparse.py:716-721 writes old_2_new_frags, whose
+            # keys and values are 1-based); row i maps 0-based frag i
+            s2s = s2s[:, 1] - 1
+            fa = s2s[dropped["fa"].to_numpy(dtype=np.int64)]
+            fb = s2s[dropped["fb"].to_numpy(dtype=np.int64)]
+            dropped = pd.DataFrame(
+                {
+                    "fa": np.minimum(fa, fb),
+                    "fb": np.maximum(fa, fb),
+                    "nc": dropped["nc"].to_numpy(),
+                }
+            )
+            ours = _read_contacts(
+                built_pyramids["ours"]
+                / f"level_{level}"
+                / f"{level}_abs_frag_contacts.txt"
+            )
+            ref = _read_contacts(
+                built_pyramids["ref"]
+                / f"level_{level}"
+                / f"{level}_abs_frag_contacts.txt"
+            )
+            expect = _subtract(ours, dropped)
+            pd.testing.assert_frame_equal(
+                ref.reset_index(drop=True),
+                expect.reset_index(drop=True),
+                check_dtype=False,
+            )
+
+    def test_hdf5_layout_matches(self, built_pyramids):
+        h5py = built_pyramids["h5py"]
+        with h5py.File(built_pyramids["ref"] / "pyramid.hdf5") as fr, \
+                h5py.File(built_pyramids["ours"] / "pyramid.hdf5") as fo:
+            for level in range(N_LEVELS):
+                g_r, g_o = fr[str(level)], fo[str(level)]
+                assert int(np.asarray(g_r["nfrags"])[0]) == int(
+                    np.asarray(g_o["nfrags"])[0]
+                )
+                d_r = np.asarray(g_r["data"])
+                d_o = np.asarray(g_o["data"])
+                assert d_r.shape[0] == d_o.shape[0] == 3
+                if level == 0:
+                    # identical pixels, possibly different order: compare
+                    # as sorted pixel sets
+                    np.testing.assert_array_equal(
+                        d_r[:, np.lexsort(d_r[::-1])],
+                        d_o[:, np.lexsort(d_o[::-1])],
+                    )
+
+
+def _subtract(coo: pd.DataFrame, minus: pd.DataFrame) -> pd.DataFrame:
+    """coo - minus on (fa, fb), dropping pixels that reach 0."""
+    if len(minus) == 0:
+        return coo.copy()
+    m = minus.groupby(["fa", "fb"], as_index=False)["nc"].sum()
+    out = coo.merge(m, on=["fa", "fb"], how="left", suffixes=("", "_m"))
+    out["nc"] = out["nc"] - out["nc_m"].fillna(0)
+    out = out[out["nc"] > 0][["fa", "fb", "nc"]]
+    return out.astype({"fa": np.int64, "fb": np.int64, "nc": np.int64})
+
+
+def _subtract_nothing(dropped: pd.DataFrame) -> pd.DataFrame:
+    return dropped.astype(
+        {"fa": np.int64, "fb": np.int64, "nc": np.int64}
+    ) if len(dropped) else dropped
