@@ -1,53 +1,97 @@
 #!/usr/bin/env python3
-"""Benchmark: MCMC sweep throughput of the on-device scan engine.
+"""Benchmark: MCMC sweep throughput on the REAL yeast level-4 workload.
 
-Runs full scaffolding cycles (per fragment: contig renumbering, 5
-candidates x 24 mutated genomes, sliced Poisson likelihood scoring,
-greedy accept, nuisance MH) as single-device lax.scan calls on a
-synthetic problem sized like the yeast benchmark at level 4, on whatever
-device JAX selects (the real TPU under the driver).
+Builds (or reuses, via the .bench_data cache) the full pre -> pyramid
+pipeline from the reference yeast test assembly
+(/root/reference/tests/data/yeast.contigs.fa.gz, S. cerevisiae W303,
+~12 Mb) with simulated Hi-C pairs, then times full scaffolding cycles
+at pyramid level 4 (489 frags, 1233 sub-frags, ~278k nnz pixels) on
+whatever device JAX selects (the real TPU under the driver).
+
+Each sweep step = contig renumbering + 5 candidates x 24 mutated
+genomes scored with the exact cis/trans-split delta decomposition +
+greedy accept + nuisance-parameter MH — one lax.scan iteration of a
+single on-device cycle call (no host round trips inside a cycle).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline: the reference CUDA implementation performs ~40 kernel
 launches and >=6 host<->device synchronisations per sweep step
-(SURVEY.md §3.2); 100 steps/s is a favourable estimate of its RTX-4090
-throughput at this problem size (>=10ms/step launch+sync bound).
-vs_baseline = measured steps/s / 100.
+(SURVEY.md §3.2, cuda_lib_gl_single.py:1401-1465); 100 steps/s is a
+favourable estimate of its RTX-4090 throughput at this problem size
+(>=10 ms/step launch+sync bound; the round-1 measured figure for this
+very workload on this engine was 30 steps/s). vs_baseline = measured
+steps/s / 100.
+
+If the yeast pipeline cannot be built (reference data missing), falls
+back to an equivalently-sized synthetic problem and says so in `unit`.
 """
 
 import json
 import os
+import pathlib
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
-import numpy as np
-
+REPO = pathlib.Path(__file__).resolve().parent
+YEAST_FASTA = pathlib.Path(
+    "/root/reference/tests/data/yeast.contigs.fa.gz"
+)
+BENCH_LEVEL = 4
+N_CYCLES = 3
 REFERENCE_STEPS_PER_SEC = 100.0
-N_FRAGS = 512
-N_CYCLES = 2
+
+
+def _build_yeast_sim():
+    sys.path.insert(0, str(REPO))
+    from scripts.yeast_probe import ensure_bench_data
+
+    from instagraal_tpu.sampler.setup import Simulation
+
+    hic = ensure_bench_data(log=lambda *a: print(*a, file=sys.stderr))
+    sim = Simulation(
+        "hic", hic, YEAST_FASTA, BENCH_LEVEL,
+        output_folder=REPO / ".bench_data" / "out",
+    )
+    params = sim.estimate_parameters_rippe()
+    return sim, params, "yeast-L4"
+
+
+def _build_synthetic_sim():
+    from instagraal_tpu.testing import SyntheticSim
+
+    sim = SyntheticSim(n_frags=512, n_contigs=16, seed=0)
+    return sim, sim.params, "synthetic-fallback"
 
 
 def main():
     import jax
+    import numpy as np
 
+    from instagraal_tpu.core.ops import explode_genome
     from instagraal_tpu.sampler.device_sweep import SweepEngine
-    from instagraal_tpu.testing import SyntheticSim
 
-    sim = SyntheticSim(n_frags=N_FRAGS, n_contigs=16, seed=0)
+    try:
+        sim, params, workload = _build_yeast_sim()
+    except Exception as e:  # pragma: no cover - data missing only
+        print(f"bench: yeast pipeline unavailable ({e}); "
+              "falling back to synthetic", file=sys.stderr)
+        sim, params, workload = _build_synthetic_sim()
+
     nnz = int(sim.coo_rows.shape[0])
     engine = SweepEngine(sim, sample_param=True)  # backend="auto"
 
-    state = sim.state
-    params = sim.params
+    # scaffold from the bombed (fully exploded) genome, as full_em does
+    state = explode_genome(
+        sim.state, np.arange(sim.n_frags, dtype=np.int32)
+    )
     ll = engine.initial_ll(state, params)
     key = jax.random.PRNGKey(0)
 
     print("bench: compiling cycle...", file=sys.stderr, flush=True)
-    # compile + warmup (one cycle)
     key, sub = jax.random.split(key)
     state, params, ll, _ = engine.run_cycle(
         state, params, ll, sub, sample_param=True
@@ -62,16 +106,17 @@ def main():
         )
     elapsed = time.perf_counter() - t0
 
-    steps = N_CYCLES * N_FRAGS
+    steps = N_CYCLES * sim.n_frags
     steps_per_sec = steps / elapsed
     print(
         json.dumps(
             {
                 "metric": "mcmc_sweep_steps_per_sec",
                 "value": round(steps_per_sec, 3),
-                "unit": f"steps/s (n_frags={N_FRAGS}, nnz={nnz}, "
-                f"5x24 mutations/step + nuisance MH, scan engine, "
-                f"backend={engine.backend}, "
+                "unit": f"steps/s ({workload}: n_frags={sim.n_frags}, "
+                f"nnz={nnz}, 5x24 mutations/step + nuisance MH, "
+                f"scan engine, backend={engine.backend}, "
+                f"cycles/hour={round(3600 * steps_per_sec / sim.n_frags)}, "
                 f"device={jax.devices()[0].platform})",
                 "vs_baseline": round(
                     steps_per_sec / REFERENCE_STEPS_PER_SEC, 3

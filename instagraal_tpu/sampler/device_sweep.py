@@ -353,6 +353,7 @@ class SweepEngine:
         mesh=None,
         exact_overflow: bool = True,
         wide_rows: bool = False,
+        block_capacity: int | str = "auto",
     ):
         """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
         given, candidate scoring is sharded across its devices with
@@ -376,7 +377,12 @@ class SweepEngine:
         separate 32B-row gathers). Candidate scoring is gather
         issue-rate bound (~0.6ns/row measured on v5e), so fewer, wider
         gathers trade issue count for bytes. Measured slower (see
-        DESIGN.md) — kept as a documented negative result."""
+        DESIGN.md) — kept as a documented negative result.
+
+        block_capacity: max SUB-FRAGMENT count of a candidate pair's
+        two contigs for the "block" backend (int, or "auto" = n_sub+1
+        rounded to 128, capped at 640); larger pairs fall back to the
+        exact full-matrix pass."""
         self.sim = sim
         self.mesh = mesh
         nnz = int(sim.coo_rows.shape[0])
@@ -384,25 +390,46 @@ class SweepEngine:
             slice_capacity = suggest_slice_capacity(sim)
         elif slice_capacity is None:
             slice_capacity = int(min(nnz, max(4096, nnz // 16)))
+        n_sub_total = int(np.asarray(sim.sub_index.frag_of_sub).shape[0])
         if backend == "auto":
             # "plain" scores all nnz pixels per mutation with no delta
             # bookkeeping — fastest below ~16k nnz (measured: synthetic
-            # 7.8k-nnz bench 209 steps/s plain vs 188 delta). "full" and
-            # "sliced" run the cis/trans-split delta and differ only in
-            # the reference's same-contig windowing of the touch mask;
-            # unwindowed ("full") is exact for every candidate, so
-            # prefer it whenever the current worst-case both-endpoint
-            # set fits the capacity; windowing only pays when giant
-            # contigs would otherwise overflow into frequent
-            # full-matrix fallbacks.
+            # 7.8k-nnz bench 209 steps/s plain vs 188 delta). "block"
+            # runs the cis/trans-split delta with per-contig-pair
+            # aggregate matrices + DENSE rescoring of the candidate
+            # pair's sub-matrix: no per-pixel index compaction at all
+            # (profiled: jnp.nonzero over [n_cand, nnz] was 12 ms/step
+            # of the 25 ms yeast-L4 step, half the whole budget) — the
+            # preferred backend whenever the dense [n_sub+1]^2 observed
+            # matrix fits HBM comfortably. "full" and "sliced" are the
+            # gather-based delta paths for finer levels; they differ
+            # only in the reference's same-contig windowing of the
+            # touch mask (unwindowed "full" is exact per candidate).
             if nnz < 16384:
                 backend = "plain"
+            elif n_sub_total <= 6144:
+                backend = "block"
             else:
                 backend = (
                     "full"
                     if suggest_slice_capacity(sim) <= slice_capacity
                     else "sliced"
                 )
+        if block_capacity == "auto":
+            # dense rescore cost grows as block_capacity^2 while the
+            # overflow fallback (one dense full pass) is cheap, so size
+            # for the common case: ~30% of the sub-fragments covers a
+            # worst-case contig pair on yeast-like assemblies (measured
+            # max 237/1233 members over a full scaffold run); rare
+            # larger pairs just take the exact fallback branch.
+            block_capacity = int(
+                min(
+                    -(-(n_sub_total + 1) // 128) * 128,
+                    max(128, -(-int(0.3 * (n_sub_total + 1)) // 128) * 128),
+                    640,
+                )
+            )
+        self.block_capacity = int(block_capacity)
         n_dev = mesh.shape["shards"] if mesh is not None else 1
         if mesh is not None:
             n_neighbours = max(n_neighbours, n_dev)
@@ -428,6 +455,25 @@ class SweepEngine:
         data_norm = jnp.stack(
             [data, jnp.asarray(poisson_norm(np.asarray(data)))], axis=1
         )
+        if backend == "block":
+            # dense (count, poisson_norm) matrix with one zero pad
+            # row/col at index n_sub: block gathers land padded member
+            # slots there and the data==0 mask silences them
+            dnd = np.zeros(
+                (n_sub_total + 1, n_sub_total + 1, 2), np.float32
+            )
+            r_np = np.asarray(rows)
+            c_np = np.asarray(cols)
+            d_np = np.asarray(data, dtype=np.float32)
+            codes = r_np.astype(np.int64) * (n_sub_total + 1) + c_np
+            if np.unique(codes).size != codes.size:
+                raise ValueError(
+                    "COO pixel list has duplicate (row, col) entries; "
+                    "the dense block backend requires canonical pixels"
+                )
+            dnd[r_np, c_np, 0] = d_np
+            dnd[r_np, c_np, 1] = poisson_norm(d_np)
+            dn_dense = jnp.asarray(dnd)
         msf = np.float32(sim.mean_size_frag_kb)
         n_pix = np.float32(sim.n_pix_total)
         n_cand = n_neighbours
@@ -445,6 +491,44 @@ class SweepEngine:
             ra = packed[rows]
             ca = packed[cols]
             return pp_rows_fast(ra, ca, data_norm, params, msf)
+
+        # --- dense-grid scoring (block backend) ----------------------
+        # At block scale the whole [S, S] per-pixel score matrix is
+        # cheaper to evaluate densely (regular VPU broadcast over the
+        # padded sub-fragment axis, observed-count mask silencing empty
+        # pixels) than to gather/scatter the sparse pixel list:
+        # profiled on yeast L4, dense eval runs ~25x faster per pixel
+        # than an XLA scatter-add update of the same pixels.
+        def pp_dense_all(pcur_pad, params):
+            """[S, S] score matrix of one genome; 0 at empty pixels."""
+            val = pp_rows_fast(
+                pcur_pad[:, None, :], pcur_pad[None, :, :],
+                dn_dense, params, msf,
+            )
+            return jnp.where(dn_dense[..., 0] > 0, val, 0.0)
+
+        def g_dense_all(params):
+            """[S, S] flat-trans score matrix (see delta_candidate)."""
+            v = jnp.asarray(params.v_inter)
+            d0 = dn_dense[..., 0]
+            g = (
+                d0 * jnp.log10(jnp.maximum(v, 1e-38))
+                - v
+                - dn_dense[..., 1]
+                + v * LOG10_E
+            )
+            return jnp.where(d0 > 0, g, 0.0)
+
+        def _nz24_dense(p24pad, params):
+            """Total nz log-likelihood of 24 genomes, dense grid."""
+
+            def one(pk):
+                val = pp_rows_fast(
+                    pk[:, None, :], pk[None, :, :], dn_dense, params, msf
+                )
+                return jnp.sum(jnp.where(dn_dense[..., 0] > 0, val, 0.0))
+
+            return jax.vmap(one)(p24pad)
 
         def _nz24_all(packed24, params):
             """Total nz log-likelihood for each of 24 mutated genomes."""
@@ -481,6 +565,9 @@ class SweepEngine:
         # v_inter*log10(e), precomputed once per step.
         windowed = backend == "sliced"
         plain = backend == "plain"
+        block = backend == "block"
+        bcap = self.block_capacity
+        ncp = self.n_frags + 1  # renumbered contig ids are < n_frags
 
         def gen_candidate(ctx, pair):
             """The 24 mutated states + packed projections for one pair."""
@@ -551,7 +638,54 @@ class SweepEngine:
             nz24 = ll_nz_cur - cur_slice + g_single + nz_both
             return nz24, n_sel
 
-        def score_all(ctx, cand, first):
+        # --- candidate scoring: aggregate + dense block ---------------
+        # Same cis/trans-split delta as delta_candidate but with ZERO
+        # per-pixel index compaction (profiled at 12 ms/step on yeast
+        # L4, half the step): the O(nnz) mask sums become O(1) lookups
+        # into per-contig-pair aggregate matrices built once per step
+        # by segment_sum, and the both-endpoint re-score runs on the
+        # DENSE sub-matrix of the pair's member sub-fragments — regular
+        # broadcast arithmetic the VPU streams at full rate, with the
+        # observed-count mask silencing absent pixels.
+        def block_candidate(ctx, bagg, id_fB, packed24):
+            (state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
+             ll_nz_cur, id_fA, max_id, params) = ctx
+            sub_ci, PG, PG_rowsum, PG_colsum = bagg
+            a = state.id_c[id_fA]
+            b = state.id_c[id_fB]
+            diff = (a != b).astype(jnp.float32)
+            # inclusion-exclusion over the (pp_cur, g_trans) aggregates:
+            # touch = row-in + col-in - both-in; single = touch - both
+            t_sum = PG_rowsum[a] + PG_colsum[a] + diff * (
+                PG_rowsum[b] + PG_colsum[b]
+            )
+            both = PG[a, a] + diff * (PG[a, b] + PG[b, a] + PG[b, b])
+            cur_slice = t_sum[0] - both[0]
+            g_single = t_sum[1] - 2.0 * both[1]
+
+            mem = (sub_ci == a) | (sub_ci == b)
+            (ids,) = jnp.nonzero(mem, size=bcap, fill_value=n_sub_total)
+            n_mem = jnp.sum(mem).astype(jnp.int32)
+            p24 = jnp.pad(packed24, ((0, 0), (0, 1), (0, 0)))
+            rows24 = jnp.take(p24, ids, axis=1)  # [24, bcap, PACK]
+            dnb = jnp.take(
+                jnp.take(dn_dense, ids, axis=0), ids, axis=1
+            )  # [bcap, bcap, 2]
+            pp_grid = pp_rows_fast(
+                rows24[:, :, None, :],
+                rows24[:, None, :, :],
+                dnb[None],
+                params,
+                msf,
+            )  # [24, bcap, bcap]
+            nz_b = jnp.sum(
+                jnp.where(dnb[None, :, :, 0] > 0, pp_grid, 0.0),
+                axis=(1, 2),
+            )
+            nz24 = ll_nz_cur - cur_slice + g_single + nz_b
+            return nz24, n_mem
+
+        def score_all(ctx, cand, first, bagg):
             """Generate + score every candidate pair of the step.
 
             Returns (stacked [n_cand,24,...] states, packed
@@ -559,7 +693,7 @@ class SweepEngine:
             """
             params = ctx[-1]
 
-            def local(cand_l, first_l, ctx_l):
+            def local(cand_l, first_l, ctx_l, bagg_l):
                 stacked, packed, valid = jax.vmap(
                     lambda b, f: gen_candidate(ctx_l, (b, f))
                 )(cand_l, first_l)
@@ -568,6 +702,12 @@ class SweepEngine:
                         lambda pk: _nz24_all(pk, ctx_l[-1])
                     )(packed)
                     n_sel = jnp.zeros(cand_l.shape[0], dtype=jnp.int32)
+                elif block:
+                    nz, n_sel = jax.vmap(
+                        lambda b, pk: block_candidate(
+                            ctx_l, bagg_l, b, pk
+                        )
+                    )(cand_l, packed)
                 else:
                     nz, n_sel = jax.vmap(
                         lambda b, pk: delta_candidate(ctx_l, b, pk)
@@ -576,7 +716,7 @@ class SweepEngine:
 
             if mesh is None:
                 stacked, packed, valid, nz, n_sel = local(
-                    cand, first, ctx
+                    cand, first, ctx, bagg
                 )
             else:
                 from jax.sharding import PartitionSpec as P
@@ -589,23 +729,36 @@ class SweepEngine:
                 stacked, packed, valid, nz, n_sel = shard_map(
                     local,
                     mesh=mesh,
-                    in_specs=(P("shards"), P("shards"), P()),
+                    in_specs=(P("shards"), P("shards"), P(), P()),
                     out_specs=P("shards"),
                     check_vma=False,
-                )(cand, first, ctx)
+                )(cand, first, ctx, bagg)
 
             if exact_overflow and not plain:
                 # one exact full-matrix pass for the whole candidate
                 # batch when any slice overflows; its rows replace only
                 # the overflowed candidates. Aggregating the predicate
                 # over candidates keeps this a real branch in the scan
-                # and an exact select under vmap.
-                over = n_sel > cap
+                # and an exact select under vmap. (In block mode the
+                # capacity is in member sub-fragments, not pixels.)
+                over = n_sel > (bcap if block else cap)
 
-                def full_all(pk):
-                    return jax.vmap(
-                        lambda pk24: _nz24_all(pk24, params)
-                    )(pk)
+                if block:
+
+                    def full_all(pk):
+                        pkp = jnp.pad(
+                            pk, ((0, 0), (0, 0), (0, 1), (0, 0))
+                        )
+                        return jax.vmap(
+                            lambda pk24: _nz24_dense(pk24, params)
+                        )(pkp)
+
+                else:
+
+                    def full_all(pk):
+                        return jax.vmap(
+                            lambda pk24: _nz24_all(pk24, params)
+                        )(pk)
 
                 nz_full = jax.lax.cond(
                     jnp.any(over), full_all, lambda pk: nz, packed
@@ -655,7 +808,7 @@ class SweepEngine:
             return jax.lax.cond(n_upd > cap_upd, recompute, keep, None)
 
         # --- nuisance MH (reference cuda_lib_gl_single.py:2961) ------
-        def nuisance_step(key, state, packed, params, ll_t, pp_cur, ll_nz):
+        def propose_nuisance(key, params):
             kuhn, lm, c1, slope, d, d_max, fact, d_nuc = params
             k_mod, k_prop, k_acc = jax.random.split(key, 3)
             id_modif = jax.random.randint(k_mod, (), 0, 4)
@@ -692,6 +845,24 @@ class SweepEngine:
                 kuhn, lm, new_c1, new_slope, d, new_d_max, new_fact,
                 new_d_nuc,
             )
+            return test, k_acc
+
+        def nuisance_step_dense(key, packed_pad, params, ll_t):
+            """Nuisance MH with the dense-grid likelihood (block mode)."""
+            test, k_acc = propose_nuisance(key, params)
+            ll_test = jnp.sum(
+                pp_dense_all(packed_pad, test)
+            ) + zeros_packed_fast(packed_pad, test, msf, n_pix)
+            accept = jnp.exp(
+                jnp.clip(ll_test - ll_t, -50.0, 50.0)
+            ) >= jax.random.uniform(k_acc, ())
+            out_params = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), test, params
+            )
+            return out_params, jnp.where(accept, ll_test, ll_t), accept
+
+        def nuisance_step(key, state, packed, params, ll_t, pp_cur, ll_nz):
+            test, k_acc = propose_nuisance(key, params)
             pp_test = _pp_all(packed, test)
             nz_test = jnp.sum(pp_test)
             ll_test = nz_test + zeros_packed_fast(packed, test, msf, n_pix)
@@ -720,22 +891,53 @@ class SweepEngine:
             state, n_contigs, mean_len = renumber_contigs(state)
             max_id = (n_contigs - 1).astype(jnp.int32)
             packed_cur = project_packed(state, idx)
-            # only the contig-id and position lanes are needed per
-            # pixel-endpoint: gather 8-byte (id_c, pos) rows, not the
-            # full 32-byte attribute rows
-            cp = packed_cur[:, (1, 3)]
-            row_cp = cp[rows]
-            col_cp = cp[cols]
-            row_c, row_p = row_cp[:, 0], row_cp[:, 1]
-            col_c, col_p = col_cp[:, 0], col_cp[:, 1]
-            # flat trans score term, data-only (see delta_candidate)
-            v = jnp.asarray(params.v_inter)
-            g_trans = (
-                data_norm[:, 0] * jnp.log10(jnp.maximum(v, 1e-38))
-                - v
-                - data_norm[:, 1]
-                + v * LOG10_E
-            )
+            if block:
+                # dense current-genome score matrix + contig-pair
+                # aggregates via one-hot matmuls: P[c1,c2] = U^T X U
+                # rides the MXU instead of an XLA scatter-add (which
+                # profiled at 4 ms/step for the same reduction)
+                pcur = jnp.pad(packed_cur, ((0, 1), (0, 0)))
+                pp_d = pp_dense_all(pcur, params)
+                g_d = g_dense_all(params)
+                ll_nz_cur = jnp.sum(pp_d)
+                sub_ci = packed_cur[:, 1].astype(jnp.int32)
+                # pad row projects into contig 0 but both its dense
+                # rows are all-zero, so it adds nothing to any bin
+                u_src = pcur[:, 1].astype(jnp.int32)
+                U = (
+                    u_src[:, None] == jnp.arange(ncp)[None, :]
+                ).astype(jnp.float32)
+                X = jnp.stack([pp_d, g_d])
+                XU = jnp.einsum(
+                    "bij,jc->bic", X, U,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                PG = jnp.einsum(
+                    "ic,bid->bcd", U, XU,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                PG = jnp.moveaxis(PG, 0, -1)  # [ncp, ncp, 2]
+                bagg = (sub_ci, PG, PG.sum(1), PG.sum(0))
+                z = jnp.zeros(())
+                row_c = col_c = row_p = col_p = g_trans = z
+            else:
+                # only the contig-id and position lanes are needed per
+                # pixel-endpoint: gather 8-byte (id_c, pos) rows, not
+                # the full 32-byte attribute rows
+                cp = packed_cur[:, (1, 3)]
+                row_cp = cp[rows]
+                col_cp = cp[cols]
+                row_c, row_p = row_cp[:, 0], row_cp[:, 1]
+                col_c, col_p = col_cp[:, 0], col_cp[:, 1]
+                # flat trans score term, data-only (delta_candidate)
+                v = jnp.asarray(params.v_inter)
+                g_trans = (
+                    data_norm[:, 0] * jnp.log10(jnp.maximum(v, 1e-38))
+                    - v
+                    - data_norm[:, 1]
+                    + v * LOG10_E
+                )
+                bagg = ()
 
             cand = jnp.sort(
                 sample_neighbours(k_nb, self.table, id_fA, n_cand)
@@ -745,8 +947,10 @@ class SweepEngine:
                 state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
                 ll_nz_cur, id_fA, max_id, params,
             )
-            stacked, packed_c, scores, n_sel = score_all(ctx, cand, first)
-            n_overflow = jnp.sum(n_sel > cap)
+            stacked, packed_c, scores, n_sel = score_all(
+                ctx, cand, first, bagg
+            )
+            n_overflow = jnp.sum(n_sel > (bcap if block else cap))
             slice_max = jnp.max(n_sel)
             flat = scores.reshape(-1)
             best = jnp.argmax(flat)
@@ -761,10 +965,17 @@ class SweepEngine:
             new_state = jax.tree.map(lambda a: a[cand_i, op], stacked)
             new_packed = packed_c[cand_i, op]
 
-            pp_cur, ll_nz_cur = update_pp(
-                new_packed, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
-                params,
-            )
+            if block:
+                # one dense re-score of the accepted genome (~0.1 ms)
+                # replaces the masked incremental pp_cur update; the
+                # per-pixel cache is not carried at all in block mode
+                new_pad = jnp.pad(new_packed, ((0, 1), (0, 0)))
+                ll_nz_cur = jnp.sum(pp_dense_all(new_pad, params))
+            else:
+                pp_cur, ll_nz_cur = update_pp(
+                    new_packed, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
+                    params,
+                )
 
             # carried likelihood comes from the exactly-updated pixel
             # cache + the analytic zeros term, not from the accepted
@@ -779,21 +990,36 @@ class SweepEngine:
             # real branch; under a chain-vmap it lowers to a
             # both-branches select, which is no worse than the
             # unconditional call it replaces)
-            def with_nuis(_):
-                return nuisance_step(
-                    k_nuis, new_state, new_packed, params, ll_t, pp_cur,
-                    ll_nz_cur,
-                )
+            if block:
 
-            def without_nuis(_):
-                return (
-                    params, ll_t, pp_cur, ll_nz_cur,
-                    jnp.asarray(False),
-                )
+                def with_nuis(_):
+                    return nuisance_step_dense(
+                        k_nuis, new_pad, params, ll_t
+                    )
 
-            params, ll_t, pp_cur, ll_nz_cur, accepted = jax.lax.cond(
-                do_nuis, with_nuis, without_nuis, None
-            )
+                def without_nuis(_):
+                    return params, ll_t, jnp.asarray(False)
+
+                params, ll_t, accepted = jax.lax.cond(
+                    do_nuis, with_nuis, without_nuis, None
+                )
+            else:
+
+                def with_nuis(_):
+                    return nuisance_step(
+                        k_nuis, new_state, new_packed, params, ll_t,
+                        pp_cur, ll_nz_cur,
+                    )
+
+                def without_nuis(_):
+                    return (
+                        params, ll_t, pp_cur, ll_nz_cur,
+                        jnp.asarray(False),
+                    )
+
+                params, ll_t, pp_cur, ll_nz_cur, accepted = jax.lax.cond(
+                    do_nuis, with_nuis, without_nuis, None
+                )
 
             trace = {
                 "likelihood": ll_t,
@@ -820,10 +1046,16 @@ class SweepEngine:
                 k_perm, self.n_frags
             ).astype(jnp.int32)
             keys = jax.random.split(k_steps, self.n_frags)
-            # fresh per-pixel cache each cycle (bounds incremental drift)
-            packed0 = project_packed(state, idx)
-            pp0 = _pp_all(packed0, params)
-            nz0 = jnp.sum(pp0)
+            if block:
+                # no per-pixel cache: the dense score matrix is
+                # recomputed from scratch inside every step
+                pp0 = jnp.zeros((1,), jnp.float32)
+                nz0 = jnp.float32(0.0)
+            else:
+                # fresh per-pixel cache each cycle (bounds drift)
+                packed0 = project_packed(state, idx)
+                pp0 = _pp_all(packed0, params)
+                nz0 = jnp.sum(pp0)
             (state, params, ll_t, _, _), traces = jax.lax.scan(
                 sweep_step,
                 (state, params, ll_t, pp0, nz0),

@@ -225,7 +225,10 @@ class Scaffolder:
                 logger.info(
                     "cycle %d: %d candidate slices exceeded capacity %d "
                     "(max seen %d) — %s",
-                    j, n_over, engine.slice_capacity,
+                    j, n_over,
+                    engine.block_capacity
+                    if engine.backend == "block"
+                    else engine.slice_capacity,
                     int(traces["slice_max"].max()),
                     "re-scored exactly" if engine.exact_overflow
                     else "scores truncated",

@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--level", type=int, default=4)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--cap", default=None)
+    ap.add_argument("--block-cap", default="auto")
     ap.add_argument("--no-nuisance", action="store_true")
     ap.add_argument("--bomb", action="store_true", default=True)
     ap.add_argument("--profile", default=None, help="xprof trace dir")
@@ -93,10 +94,13 @@ def main():
         backend=args.backend,
         slice_capacity=cap,
         sample_param=not args.no_nuisance,
+        block_capacity=(
+            "auto" if args.block_cap == "auto" else int(args.block_cap)
+        ),
     )
     log(
         f"engine: backend={engine.backend} cap={engine.slice_capacity} "
-        f"nnz={sim.nnz}"
+        f"bcap={engine.block_capacity} nnz={sim.nnz}"
     )
 
     from instagraal_tpu.core.ops import explode_genome
