@@ -98,13 +98,19 @@ def main():
     )
 
     print("bench: timing...", file=sys.stderr, flush=True)
+    from instagraal_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     t0 = time.perf_counter()
     for _ in range(N_CYCLES):
-        key, sub = jax.random.split(key)
-        state, params, ll, traces = engine.run_cycle(
-            state, params, ll, sub, sample_param=True
-        )
+        with timer.phase("prng_split"):
+            key, sub = jax.random.split(key)
+        with timer.phase("cycle_device"):
+            state, params, ll, traces = engine.run_cycle(
+                state, params, ll, sub, sample_param=True
+            )
     elapsed = time.perf_counter() - t0
+    print(timer.report(log=False), file=sys.stderr, flush=True)
 
     steps = N_CYCLES * sim.n_frags
     steps_per_sec = steps / elapsed

@@ -135,6 +135,28 @@ from ..log import set_level
         "slices fall back to an exact full re-score."
     ),
 )
+@click.option(
+    "--chains",
+    default=1,
+    show_default=True,
+    type=int,
+    help=(
+        "Independent MCMC chains run data-parallel on device (scan "
+        "engine). Chains shard across the device mesh when the device "
+        "count divides evenly; per-cycle best-chain logging, final "
+        "best-chain export."
+    ),
+)
+@click.option(
+    "--profile",
+    default=None,
+    type=click.Path(),
+    help=(
+        "Dump a jax.profiler (XLA/TPU) trace of the EM loop into this "
+        "directory (view with XProf/TensorBoard). Per-phase wall-time "
+        "totals are logged at the end of every run regardless."
+    ),
+)
 @click.option("--quiet", is_flag=True, default=False, help="Warnings/errors only.")
 @click.option("--debug", is_flag=True, default=False, help="Debug output.")
 def main(
@@ -155,6 +177,8 @@ def main(
     seed,
     resume,
     slice_cap,
+    chains,
+    profile,
     quiet,
     debug,
 ):
@@ -198,6 +222,8 @@ def main(
         slice_capacity=(
             slice_cap if slice_cap in (None, "auto") else int(slice_cap)
         ),
+        chains=chains,
+        profile=profile,
     )
 
 

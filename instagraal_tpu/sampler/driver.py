@@ -15,6 +15,7 @@ import numpy as np
 
 from ..core.state import state_to_numpy
 from ..log import logger
+from ..utils.profiling import PhaseTimer
 from .sampler import Sampler
 from .setup import Simulation
 
@@ -56,9 +57,18 @@ class Scaffolder:
         sample_param: bool = True,
         engine: str = "scan",
         slice_capacity=None,
+        chains: int = 1,
     ):
         """slice_capacity: int, "auto", or None (nnz // 8 default) —
-        forwarded to SweepEngine; see suggest_slice_capacity."""
+        forwarded to SweepEngine; see suggest_slice_capacity.
+
+        chains: number of independent MCMC chains run data-parallel on
+        device (scan engine only). Chains share the initial genome but
+        explore with independent PRNG streams and nuisance parameters;
+        every cycle logs per-chain likelihoods and the final export
+        takes the best chain (SURVEY.md §2.3 north star). When the
+        JAX device count is divisible by `chains`, chains are sharded
+        across a device mesh; otherwise they run batched on one chip."""
         kw = {}
         if size_pyramid is not None:
             kw["size_pyramid"] = size_pyramid
@@ -82,8 +92,15 @@ class Scaffolder:
         self.seed = seed if seed is not None else 0
         self._sweep_engine = None  # built lazily (jit compile cost)
         self.sample_param = sample_param
+        self.chains = int(chains)
+        if self.chains > 1 and engine != "scan":
+            raise ValueError("chains > 1 requires the scan engine")
         self.collect: dict[str, list] = {k: [] for k in self.TRACE_NAMES}
         self.collect_mutations: list[tuple[int, int, int]] = []
+        # first-class profiling (SURVEY.md §5.1): every EM loop
+        # accumulates per-phase wall time here and logs a report at the
+        # end of full_em; bench.py prints the same breakdown.
+        self.timer = PhaseTimer()
         self.out = self.simulation.output_folder
 
     # ------------------------------------------------------------------
@@ -104,6 +121,11 @@ class Scaffolder:
         introspection). resume=True continues from <out>/checkpoint.pkl.
         """
         if self.engine == "scan":
+            if self.chains > 1:
+                return self._full_em_scan_chains(
+                    n_cycles, bomb, id_start_sample_param, save_matrix,
+                    resume=resume,
+                )
             return self._full_em_scan(
                 n_cycles, bomb, id_start_sample_param, save_matrix,
                 resume=resume,
@@ -122,26 +144,30 @@ class Scaffolder:
                         j,
                         100.0 * count / len(list_frags),
                     )
-                o, dist, op, id_fB, mean_len, n_contigs = (
-                    sampler.step_sampler(int(id_frag), n_neighbours)
-                )
+                with self.timer.phase("step"):
+                    o, dist, op, id_fB, mean_len, n_contigs = (
+                        sampler.step_sampler(int(id_frag), n_neighbours)
+                    )
                 self.collect["likelihood"].append(o)
                 self.collect["n_contigs"].append(n_contigs)
                 self.collect["mean_len"].append(mean_len)
                 self.collect["dist_init_genome"].append(dist)
                 self.collect_mutations.append((int(id_frag), id_fB, op))
                 if self.sample_param and j > id_start_sample_param:
-                    fact, d, d_max, d_nuc, slope, ll, success = (
-                        sampler.step_nuisance_parameters()
-                    )
+                    with self.timer.phase("nuisance"):
+                        fact, d, d_max, d_nuc, slope, ll, success = (
+                            sampler.step_nuisance_parameters()
+                        )
                     self.collect["fact"].append(fact)
                     self.collect["d"].append(d)
                     self.collect["d_max"].append(d_max)
                     self.collect["d_nuc"].append(d_nuc)
                     self.collect["slope"].append(slope)
                     self.collect["success"].append(success)
-            self._write_cycle_outputs(j, save_matrix)
+            with self.timer.phase("cycle_outputs"):
+                self._write_cycle_outputs(j, save_matrix)
         self.save_behaviour_to_txt()
+        self.timer.report()
 
     def _full_em_scan(
         self,
@@ -178,12 +204,13 @@ class Scaffolder:
         if bomb:
             sampler.bomb_the_genome()
         if self._sweep_engine is None:
-            self._sweep_engine = SweepEngine(
-                self.simulation,
-                n_neighbours=sampler.n_neighbours,
-                sample_param=self.sample_param,
-                slice_capacity=self.slice_capacity,
-            )
+            with self.timer.phase("engine_build"):
+                self._sweep_engine = SweepEngine(
+                    self.simulation,
+                    n_neighbours=sampler.n_neighbours,
+                    sample_param=self.sample_param,
+                    slice_capacity=self.slice_capacity,
+                )
         engine = self._sweep_engine
         state = sampler.state
         params = sampler.params
@@ -196,9 +223,10 @@ class Scaffolder:
             logger.info("cycle = %d (scan engine)", j)
             key, sub = jax.random.split(key)
             do_nuis = self.sample_param and j > id_start_sample_param
-            state, params, ll, traces = engine.run_cycle(
-                state, params, ll, sub, sample_param=do_nuis
-            )
+            with self.timer.phase("cycle_device"):
+                state, params, ll, traces = engine.run_cycle(
+                    state, params, ll, sub, sample_param=do_nuis
+                )
             self.collect["likelihood"].extend(
                 traces["likelihood"].tolist()
             )
@@ -239,19 +267,175 @@ class Scaffolder:
             sampler.likelihood_t = ll
             sampler.n_contigs = int(traces["n_contigs"][-1])
             sampler.mean_length_contigs = float(traces["mean_len"][-1])
-            self._write_cycle_outputs(j, save_matrix)
-            ckpt.save_checkpoint(
-                ckpt_path,
-                state,
-                sampler.params,
-                j + 1,
-                sampler.rng,
-                key,
-                self.collect,
-                self.collect_mutations,
-                ll,
-            )
+            with self.timer.phase("cycle_outputs"):
+                self._write_cycle_outputs(j, save_matrix)
+            with self.timer.phase("checkpoint"):
+                ckpt.save_checkpoint(
+                    ckpt_path,
+                    state,
+                    sampler.params,
+                    j + 1,
+                    sampler.rng,
+                    key,
+                    self.collect,
+                    self.collect_mutations,
+                    ll,
+                )
         self.save_behaviour_to_txt()
+        self.timer.report()
+
+    def _full_em_scan_chains(
+        self,
+        n_cycles: int,
+        bomb: bool,
+        id_start_sample_param: int,
+        save_matrix: bool,
+        resume: bool = False,
+    ) -> None:
+        """Multi-chain scan EM loop (BASELINE north star: independent
+        MCMC chains run data-parallel on device).
+
+        All C chains advance one full cycle per device call; every
+        cycle logs the per-chain likelihoods and writes the current
+        best chain's outputs; the final export takes the best chain's
+        genome, parameters and traces. With a divisible device count
+        the chains are sharded across a ("chains",) mesh axis,
+        otherwise they run batched on one chip.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from . import checkpoint as ckpt
+        from .device_sweep import MultiChainSweep, SweepEngine
+
+        sampler = self.sampler
+        C = self.chains
+        ckpt_path = self.out / ckpt.CHECKPOINT_NAME
+        if self._sweep_engine is None:
+            with self.timer.phase("engine_build"):
+                self._sweep_engine = SweepEngine(
+                    self.simulation,
+                    n_neighbours=sampler.n_neighbours,
+                    sample_param=self.sample_param,
+                    slice_capacity=self.slice_capacity,
+                )
+        engine = self._sweep_engine
+        n_dev = len(jax.devices())
+        mesh = None
+        if n_dev > 1 and n_dev % C == 0:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(chains=C)
+            logger.info(
+                "chains sharded over mesh %s", dict(mesh.shape)
+            )
+        ms = MultiChainSweep(engine, mesh=mesh, n_chains=C)
+
+        start_cycle = 0
+        collect_chains = None
+        if resume and ckpt_path.exists():
+            payload = ckpt.load_checkpoint(ckpt_path)
+            if (
+                payload.get("version") == ckpt.MULTI_FORMAT_VERSION
+                and len(payload["states"]) == C
+            ):
+                states = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *payload["states"]
+                )
+                if ms._sharding is not None:
+                    states = ms._put(states)
+                params_all = payload["params_all"]
+                lls = np.asarray(payload["likelihoods"])
+                sampler.rng = ckpt.restore_rng(payload["rng_state"])
+                key = jnp.asarray(payload["prng_key"])
+                collect_chains = payload["collect_chains"]
+                mutations_chains = payload["mutations_chains"]
+                start_cycle = payload["cycle"]
+                logger.info(
+                    "resumed %d chains from checkpoint at cycle %d",
+                    C, start_cycle,
+                )
+                bomb = False
+            else:
+                logger.warning(
+                    "checkpoint incompatible with %d chains; "
+                    "starting fresh", C,
+                )
+        if collect_chains is None:
+            key = jax.random.PRNGKey(self.seed)
+            if bomb:
+                sampler.bomb_the_genome()
+            states = ms.broadcast_state(sampler.state)
+            params_all = ms.broadcast_params(sampler.params)
+            ll0 = engine.initial_ll(sampler.state, sampler.params)
+            lls = np.full(C, ll0, dtype=np.float64)
+            collect_chains = [
+                {k: [] for k in self.TRACE_NAMES} for _ in range(C)
+            ]
+            mutations_chains = [[] for _ in range(C)]
+
+        for j in range(start_cycle, n_cycles):
+            key, sub = jax.random.split(key)
+            do_nuis = self.sample_param and j > id_start_sample_param
+            with self.timer.phase("cycle_device"):
+                states, params_all, lls, traces = ms.run_cycle(
+                    states, params_all, lls, sub, sample_param=do_nuis
+                )
+            best_c = int(np.argmax(lls))
+            logger.info(
+                "cycle = %d (scan engine, %d chains): ll %s, best %d",
+                j, C,
+                np.array2string(np.asarray(lls), precision=0),
+                best_c,
+            )
+            for c in range(C):
+                col = collect_chains[c]
+                for name in (
+                    "likelihood", "n_contigs", "mean_len", "fact",
+                    "slope", "d_max", "d_nuc", "d", "dist_init_genome",
+                ):
+                    col[name].extend(traces[name][c].tolist())
+                col["success"].extend(
+                    traces["success"][c].astype(int).tolist()
+                )
+                for a, b, m in zip(
+                    traces["id_fA"][c], traces["id_fB"][c],
+                    traces["op"][c],
+                ):
+                    mutations_chains[c].append(
+                        (int(a), int(b), int(m))
+                    )
+            # per-cycle outputs follow the current best chain
+            sampler.state = jax.tree.map(lambda a: a[best_c], states)
+            sampler.likelihood_t = float(lls[best_c])
+            sampler.n_contigs = int(traces["n_contigs"][best_c][-1])
+            sampler.mean_length_contigs = float(
+                traces["mean_len"][best_c][-1]
+            )
+            self.collect = collect_chains[best_c]
+            self.collect_mutations = mutations_chains[best_c]
+            with self.timer.phase("cycle_outputs"):
+                self._write_cycle_outputs(j, save_matrix)
+            with self.timer.phase("checkpoint"):
+                ckpt.save_checkpoint_multi(
+                    ckpt_path, states, params_all, j + 1, sampler.rng,
+                    key, collect_chains, mutations_chains, lls,
+                )
+
+        best_c = int(np.argmax(lls))
+        sampler.state = jax.tree.map(lambda a: a[best_c], states)
+        sampler.params = type(sampler.params)(
+            *[float(np.asarray(v)[best_c]) for v in params_all]
+        )
+        sampler.likelihood_t = float(lls[best_c])
+        self.collect = collect_chains[best_c]
+        self.collect_mutations = mutations_chains[best_c]
+        self.save_behaviour_to_txt()
+        with open(self.out / "list_chain_likelihoods.txt", "w") as fh:
+            fh.write("chain\tlikelihood\tbest\n")
+            for c, v in enumerate(np.asarray(lls)):
+                fh.write(f"{c}\t{v}\t{int(c == best_c)}\n")
+        self.timer.report()
 
     def replay_mutations(self, mutations_file) -> None:
         """Re-apply a recorded list_mutations.txt onto the current state
@@ -400,12 +584,18 @@ def run_instagraal(
     seed: int | None = 0,
     resume: bool = False,
     slice_capacity=None,
+    chains: int = 1,
+    profile=None,
 ) -> None:
     """Run the scaffolding pipeline (reference instagraal.py:502-638).
 
     `device` and `simple` are accepted for CLI compatibility; device
     selection is handled by JAX and the reference's --simple mode calls
     sampler methods that never existed (dead code, SURVEY.md §7.3).
+
+    profile: directory to dump a jax.profiler (XLA/TPU) trace of the
+    EM loop into, viewable in XProf/TensorBoard; per-phase wall-time
+    totals are logged at the end of every run regardless.
     """
     name = os.path.basename(os.path.normpath(str(hic_folder)))
     if pyramid_only:
@@ -430,14 +620,20 @@ def run_instagraal(
         seed=seed,
         circular=circular,
         slice_capacity=slice_capacity,
+        chains=chains,
     )
-    scaf.full_em(
-        n_cycles=cycles,
-        n_neighbours=neighborhood,
-        bomb=bomb,
-        save_matrix=save_matrix,
-        resume=resume,
-    )
+    import contextlib
+
+    from ..utils.profiling import trace_to
+
+    with trace_to(str(profile)) if profile else contextlib.nullcontext():
+        scaf.full_em(
+            n_cycles=cycles,
+            n_neighbours=neighborhood,
+            bomb=bomb,
+            save_matrix=save_matrix,
+            resume=resume,
+        )
 
     from ..stats import print_assembly_stats
 

@@ -153,6 +153,79 @@ class TestFullEm:
         assert same_chrom / adjacencies > 0.5
 
 
+class TestMultiChainEm:
+    """Driver-level multi-chain EM (VERDICT r1 #2): the CLI-reachable
+    `Scaffolder(chains=C)` path runs C chains data-parallel over the
+    8-device CPU mesh (C divides the device count, so the chains axis
+    is genuinely sharded), logs per-chain likelihoods, exports the best
+    chain, and checkpoints/resumes all chains."""
+
+    def test_two_cycle_multi_chain_scaffold(self, toy_pre, tmp_path_factory):
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("mc_scaffold")
+        scaf = Scaffolder(
+            "toy",
+            toy_pre["dir"],
+            toy_pre["fasta"],
+            level=2,
+            output_folder=out,
+            seed=0,
+            size_pyramid=4,
+            chains=2,
+        )
+        n_frags = scaf.sampler.n_frags
+        scaf.full_em(n_cycles=2, bomb=True)
+
+        out = scaf.out
+        assert (out / "genome.fasta").exists()
+        assert (out / "info_frags.txt").exists()
+        chain_lls = np.loadtxt(
+            out / "list_chain_likelihoods.txt", skiprows=1
+        ).reshape(-1, 3)
+        assert chain_lls.shape[0] == 2
+        assert np.isfinite(chain_lls[:, 1]).all()
+        # exactly one best chain, and it is the argmax
+        assert chain_lls[:, 2].sum() == 1
+        assert chain_lls[int(np.argmax(chain_lls[:, 1])), 2] == 1
+        # independent PRNG streams: the chains explored differently
+        assert chain_lls[0, 1] != chain_lls[1, 1]
+        # exported traces follow the best chain for the full run
+        lls = np.loadtxt(out / "list_likelihood.txt")
+        assert lls.shape[0] == 2 * n_frags
+        assert scaf.sampler.likelihood_t == pytest.approx(
+            chain_lls[:, 1].max()
+        )
+        # scaffolding worked: contiguity recovered after the bomb
+        assert scaf.sampler.n_contigs < n_frags / 2
+
+    def test_multi_chain_checkpoint_resume(self, toy_pre, tmp_path_factory):
+        from instagraal_tpu.sampler import Scaffolder
+        from instagraal_tpu.sampler import checkpoint as ckpt
+
+        out = tmp_path_factory.mktemp("mc_resume")
+        kw = dict(
+            level=2, output_folder=out, seed=0, size_pyramid=4, chains=2
+        )
+        scaf = Scaffolder("toy", toy_pre["dir"], toy_pre["fasta"], **kw)
+        scaf.full_em(n_cycles=1, bomb=True)
+        payload = ckpt.load_checkpoint(scaf.out / ckpt.CHECKPOINT_NAME)
+        assert payload["version"] == ckpt.MULTI_FORMAT_VERSION
+        assert payload["cycle"] == 1
+        assert len(payload["states"]) == 2
+
+        scaf2 = Scaffolder("toy", toy_pre["dir"], toy_pre["fasta"], **kw)
+        scaf2.full_em(n_cycles=2, bomb=True, resume=True)
+        n_frags = scaf2.sampler.n_frags
+        # both cycles' traces present after the resumed second cycle
+        lls = np.loadtxt(scaf2.out / "list_likelihood.txt")
+        assert lls.shape[0] == 2 * n_frags
+        chain_lls = np.loadtxt(
+            scaf2.out / "list_chain_likelihoods.txt", skiprows=1
+        ).reshape(-1, 3)
+        assert np.isfinite(chain_lls[:, 1]).all()
+
+
 class TestSaveMatrix:
     def test_matrix_png_written(self, scaffolder, tmp_path):
         out = tmp_path / "m.png"

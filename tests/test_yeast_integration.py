@@ -15,7 +15,15 @@ import pathlib
 import numpy as np
 import pytest
 
-YEAST_CONTIGS = pathlib.Path("/root/reference/tests/data/yeast.contigs.fa.gz")
+# CI can point this at any yeast-scale contig assembly with
+# true-coordinate headers (e.g. one written by
+# instagraal_tpu.testing.make_toy_genome at 16 x 750 kb scale)
+YEAST_CONTIGS = pathlib.Path(
+    os.environ.get(
+        "INSTAGRAAL_TPU_YEAST_FA",
+        "/root/reference/tests/data/yeast.contigs.fa.gz",
+    )
+)
 
 pytestmark = pytest.mark.skipif(
     not YEAST_CONTIGS.exists() and not os.environ.get("INSTAGRAAL_TPU_SLOW"),
