@@ -148,6 +148,17 @@ from ..log import set_level
     ),
 )
 @click.option(
+    "--shard-nnz",
+    is_flag=True,
+    default=False,
+    help=(
+        "Shard the contact matrix's pixel arrays across all devices "
+        "(per-chip HBM scales as nnz / n_devices; pixel reductions "
+        "merge through psum). For contact maps too large for one "
+        "chip. Mutually exclusive with --chains > 1."
+    ),
+)
+@click.option(
     "--profile",
     default=None,
     type=click.Path(),
@@ -178,6 +189,7 @@ def main(
     resume,
     slice_cap,
     chains,
+    shard_nnz,
     profile,
     quiet,
     debug,
@@ -223,6 +235,7 @@ def main(
             slice_cap if slice_cap in (None, "auto") else int(slice_cap)
         ),
         chains=chains,
+        shard_nnz=shard_nnz,
         profile=profile,
     )
 

@@ -67,6 +67,21 @@ from ..model.rippe import RippeParams, expected_counts, expected_counts_fast
 
 PACK = 8  # packed attribute row width (5 used lanes, padded to 8)
 
+# Matmul precision for the block backend's contig-pair aggregate
+# einsums. HIGH (3-pass bf16) is the default: measured max 0.044 abs
+# error on yeast-L4 aggregates — two orders below the log-unit-scale
+# candidate score gaps decisions are made at — for +9.5% whole-cycle
+# throughput vs HIGHEST (336.7 vs 307.5 steps/s, v5e). The error
+# cannot accumulate: the block step recomputes its nz base from the
+# dense grid every step. HIGHEST (6-pass = exact f32) is one env var
+# away; DEFAULT (1-pass) corrupts aggregates (~14 log-units) — never
+# use it.
+import os as _os
+
+_AGG_PRECISION = jax.lax.Precision[
+    _os.environ.get("INSTAGRAAL_TPU_AGG_PREC", "HIGH")
+]
+
 
 class NeighbourTable(NamedTuple):
     """Top-K contact partners per fragment, with sampling logits."""
@@ -348,12 +363,13 @@ class SweepEngine:
         n_neighbours: int = 5,
         backend: str = "auto",
         slice_capacity: int | None = None,
-        neighbour_k: int = 32,
+        neighbour_k: int | None = None,
         sample_param: bool = True,
         mesh=None,
         exact_overflow: bool = True,
         wide_rows: bool = False,
         block_capacity: int | str = "auto",
+        shard_nnz: bool = False,
     ):
         """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
         given, candidate scoring is sharded across its devices with
@@ -361,6 +377,17 @@ class SweepEngine:
         count, so every chip scores (at least) one candidate's 24
         mutations per step and a v5e-8 evaluates 8+ candidates at the
         single-candidate wall cost.
+
+        shard_nnz: shard the contact-matrix COO arrays (rows, cols,
+        data) along mesh's "shards" axis instead of sharding the
+        candidate batch, so per-chip HBM scales as nnz / n_shards —
+        the multi-host pod layout for genomes whose fine-level contact
+        maps don't fit one chip (SURVEY.md §5.8, BASELINE config #5).
+        The whole cycle runs inside one shard_map: every O(nnz)
+        mask/compact/score reduction works on the local pixel shard
+        and merges through psum; the O(n_frags) sweep control is
+        replicated. Not composable with the block backend (whose dense
+        grid is not pixel-sharded), wide_rows, or MultiChainSweep.
 
         exact_overflow: when True (default), any candidate whose
         touched slice exceeds ``slice_capacity`` triggers one exact
@@ -385,6 +412,17 @@ class SweepEngine:
         exact full-matrix pass."""
         self.sim = sim
         self.mesh = mesh
+        self.shard_nnz = bool(shard_nnz)
+        if shard_nnz:
+            if mesh is None:
+                raise ValueError("shard_nnz requires a mesh")
+            if wide_rows:
+                raise ValueError("shard_nnz + wide_rows not supported")
+            if backend == "block":
+                raise ValueError(
+                    "the dense block backend is not pixel-sharded; "
+                    "use backend='full'/'sliced'/'plain' with shard_nnz"
+                )
         nnz = int(sim.coo_rows.shape[0])
         if slice_capacity == "auto":
             slice_capacity = suggest_slice_capacity(sim)
@@ -407,7 +445,7 @@ class SweepEngine:
             # touch mask (unwindowed "full" is exact per candidate).
             if nnz < 16384:
                 backend = "plain"
-            elif n_sub_total <= 6144:
+            elif n_sub_total <= 6144 and not shard_nnz:
                 backend = "block"
             else:
                 backend = (
@@ -431,10 +469,30 @@ class SweepEngine:
             )
         self.block_capacity = int(block_capacity)
         n_dev = mesh.shape["shards"] if mesh is not None else 1
-        if mesh is not None:
+        if neighbour_k is None:
+            # adaptive table width: wide enough that 95% of fragments
+            # keep their FULL contact support (the reference samples an
+            # exact categorical over every partner,
+            # cuda_lib_gl_single.py:3053 — a fixed top-32 clips
+            # repeat-rich / coarse-level fragments). Cap at 256 so the
+            # per-step Gumbel top-k stays trivial.
+            csr = sim.level.sparse_mat_csr
+            sym = (csr + csr.T).tocsr()
+            partners = np.diff(sym.indptr)
+            neighbour_k = int(
+                min(
+                    max(sim.n_frags - 1, 1),
+                    max(32, int(np.percentile(partners, 95))),
+                    256,
+                )
+            )
+        if mesh is not None and not shard_nnz:
+            # candidate sharding wants the candidate count to fill the
+            # device grid; nnz sharding keeps the user's neighbour count
             n_neighbours = max(n_neighbours, n_dev)
             n_neighbours = -(-n_neighbours // n_dev) * n_dev
             neighbour_k = max(neighbour_k, n_neighbours)
+        self.neighbour_k = int(neighbour_k)
         self.n_neighbours = n_neighbours
         self.backend = backend
         self.sample_param = sample_param
@@ -455,6 +513,7 @@ class SweepEngine:
         data_norm = jnp.stack(
             [data, jnp.asarray(poisson_norm(np.asarray(data)))], axis=1
         )
+        dn_dense = None
         if backend == "block":
             # dense (count, poisson_norm) matrix with one zero pad
             # row/col at index n_sub: block gathers land padded member
@@ -487,10 +546,122 @@ class SweepEngine:
             sim.state, np.asarray(sim.state.sub_len) > 1
         )
 
+        # assemble the jitted cycle: either with the full pixel arrays
+        # on every device (replicated — the single-chip / candidate-
+        # sharded layout), or with the COO nnz axis sharded across the
+        # mesh's "shards" axis (shard_nnz) so HBM per chip scales as
+        # nnz / n_shards. Cross-pixel reductions go through psum/pmax
+        # (identity functions when replicated).
+        def _ident(x):
+            return x
+
+        if not shard_nnz:
+            cycle_fn, initial_fn = self._make_cycle(
+                idx, rows, cols, data_norm, dn_dense, msf, n_pix,
+                n_cand, cap, cap_upd, n_bounds, dist_fn, backend,
+                wide_rows, exact_overflow, mesh, None, _ident, _ident,
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            n_sh = mesh.shape["shards"]
+            pad = (-nnz) % n_sh
+            # physically place each device's pixel slice in its own
+            # HBM: per-chip COO memory is nnz/n_shards from here on
+            pix_sharding = jax.sharding.NamedSharding(mesh, P("shards"))
+            rows_s = jax.device_put(jnp.pad(rows, (0, pad)), pix_sharding)
+            cols_s = jax.device_put(jnp.pad(cols, (0, pad)), pix_sharding)
+            dn_s = jax.device_put(
+                jnp.pad(data_norm, ((0, pad), (0, 0))),
+                jax.sharding.NamedSharding(mesh, P("shards", None)),
+            )
+            wm_s = jax.device_put(
+                jnp.pad(jnp.ones(nnz, jnp.float32), (0, pad)),
+                pix_sharding,
+            )
+
+            def _psum(x):
+                return jax.lax.psum(x, "shards")
+
+            def _pmax(x):
+                return jax.lax.pmax(x, "shards")
+
+            def _kern(r, c, dn, wm):
+                # mesh=None inside: candidate scoring stays local, the
+                # pixel axis is what's distributed here
+                return self._make_cycle(
+                    idx, r, c, dn, dn_dense, msf, n_pix, n_cand,
+                    cap, cap_upd, n_bounds, dist_fn, backend,
+                    wide_rows, exact_overflow, None, wm, _psum, _pmax,
+                )
+
+            pspec = (P("shards"), P("shards"), P("shards"), P("shards"))
+
+            def cycle_fn(state, params, ll_t, key, flags):
+                def inner(state, params, ll_t, key, flags, r, c, dn, wm):
+                    return _kern(r, c, dn, wm)[0](
+                        state, params, ll_t, key, flags
+                    )
+
+                return shard_map(
+                    inner,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P()) + pspec,
+                    out_specs=P(),
+                    check_vma=False,
+                )(state, params, ll_t, key, flags,
+                  rows_s, cols_s, dn_s, wm_s)
+
+            def initial_fn(state, params):
+                def inner(state, params, r, c, dn, wm):
+                    return _kern(r, c, dn, wm)[1](state, params)
+
+                return shard_map(
+                    inner,
+                    mesh=mesh,
+                    in_specs=(P(), P()) + pspec,
+                    out_specs=P(),
+                    check_vma=False,
+                )(state, params, rows_s, cols_s, dn_s, wm_s)
+
+            # handles for tests to verify real per-device pixel shards
+            self._pix_sharded = (rows_s, cols_s, dn_s, wm_s)
+            self._pix_spec = pspec[0]
+
+        self._cycle_fn = cycle_fn
+        self._run_cycle = jax.jit(cycle_fn)
+        self._initial_ll = jax.jit(initial_fn)
+
+    def _make_cycle(
+        self, idx, rows, cols, data_norm, dn_dense, msf, n_pix, n_cand,
+        cap, cap_upd, n_bounds, dist_fn, backend, wide_rows,
+        exact_overflow, mesh, wmask, psum, pmax,
+    ):
+        """Build (cycle_fn, initial_ll_fn) over the given pixel arrays.
+
+        rows/cols/data_norm are either the full COO arrays (replicated
+        layout) or one device's shard (inside the shard_nnz shard_map).
+        wmask: None, or a per-pixel f32 validity mask (0 on the padding
+        that makes nnz divisible by the shard count). psum/pmax merge
+        pixel reductions across shards (identity when replicated).
+        mesh here is the CANDIDATE-sharding mesh (None under nnz
+        sharding). Every cross-shard value used as a branch predicate
+        (slice overflow, update-set overflow) goes through pmax first,
+        so all devices take the same lax.cond branch and collectives
+        inside the branches cannot deadlock.
+        """
+        n_sub_total = int(np.asarray(idx.frag_of_sub).shape[0])
+
         def _pp_all(packed, params):
             ra = packed[rows]
             ca = packed[cols]
-            return pp_rows_fast(ra, ca, data_norm, params, msf)
+            pp = pp_rows_fast(ra, ca, data_norm, params, msf)
+            return pp if wmask is None else pp * wmask
 
         # --- dense-grid scoring (block backend) ----------------------
         # At block scale the whole [S, S] per-pixel score matrix is
@@ -539,9 +710,11 @@ class SweepEngine:
                     params, msf,
                 )  # [nnz, 24]
                 return jnp.sum(pp, axis=0)
-            return jax.vmap(
-                lambda pk: jnp.sum(_pp_all(pk, params))
-            )(packed24)
+            return psum(
+                jax.vmap(lambda pk: jnp.sum(_pp_all(pk, params)))(
+                    packed24
+                )
+            )
 
         # --- candidate scoring: cis/trans-split delta -----------------
         # Every mutation of the pair (fA, fB) only rebuilds contigs out
@@ -608,12 +781,18 @@ class SweepEngine:
                     (px <= hi_b) & (py >= lo_b)
                 )
                 touch = jnp.where(same, touch & in_win, touch)
+            if wmask is not None:
+                # padded pixels gather endpoint 0's attributes and could
+                # leak into the masks; they carry zero weight everywhere
+                touch = touch & (wmask > 0)
             both = touch & row_in & col_in
             tmask = touch.astype(jnp.float32)
             bmask = both.astype(jnp.float32)
-            cur_slice = jnp.sum(pp_cur * tmask)
-            g_single = jnp.sum(g_trans * (tmask - bmask))
+            cur_slice = psum(jnp.sum(pp_cur * tmask))
+            g_single = psum(jnp.sum(g_trans * (tmask - bmask)))
 
+            # compaction capacity is per pixel shard: each device
+            # compacts only its local both-in pixels
             (b_idx,) = jnp.nonzero(both, size=cap, fill_value=0)
             n_sel = jnp.sum(both)
             w = (jnp.arange(cap) < n_sel).astype(jnp.float32)
@@ -635,8 +814,11 @@ class SweepEngine:
                     ra, ca, b_dn[None, :, :], params, msf
                 )
                 nz_both = jnp.sum(pp24 * w[None, :], axis=1)
-            nz24 = ll_nz_cur - cur_slice + g_single + nz_both
-            return nz24, n_sel
+            nz24 = ll_nz_cur - cur_slice + g_single + psum(nz_both)
+            # report the worst per-shard compacted count: the overflow
+            # predicate (n_sel > cap) compares against the per-shard
+            # capacity, and pmax makes it identical on every device
+            return nz24, pmax(n_sel)
 
         # --- candidate scoring: aggregate + dense block ---------------
         # Same cis/trans-split delta as delta_candidate but with ZERO
@@ -689,7 +871,8 @@ class SweepEngine:
             """Generate + score every candidate pair of the step.
 
             Returns (stacked [n_cand,24,...] states, packed
-            [n_cand,24,n_sub,PACK], scores [n_cand,24], n_sel [n_cand]).
+            [n_cand,24,n_sub,PACK], scores [n_cand,24], raw nz
+            [n_cand,24], n_sel [n_cand]).
             """
             params = ctx[-1]
 
@@ -771,7 +954,10 @@ class SweepEngine:
                 )
             )(packed)
             scores = jnp.where(valid, nz + zeros, -jnp.inf)
-            return stacked, packed, scores, n_sel
+            # nz returned too: for exact backends the accepted move's
+            # nz row IS the new genome's total nz log-likelihood, so
+            # the post-accept dense/full re-score can be skipped
+            return stacked, packed, scores, nz, n_sel
 
         # --- exact incremental pp_cur update after an accepted move --
         def update_pp(
@@ -787,6 +973,8 @@ class SweepEngine:
             row_in = (row_c == cA) | (row_c == cB)
             col_in = (col_c == cA) | (col_c == cB)
             touch = row_in & col_in
+            if wmask is not None:
+                touch = touch & (wmask > 0)
             (upd_idx,) = jnp.nonzero(touch, size=cap_upd, fill_value=0)
             n_upd = jnp.sum(touch)
             w = (jnp.arange(cap_upd) < n_upd).astype(jnp.float32)
@@ -796,16 +984,20 @@ class SweepEngine:
             old_vals = pp_cur[upd_idx]
             merged = jnp.where(w > 0, pp_new, old_vals)
             pp_fast = pp_cur.at[upd_idx].set(merged)
-            ll_fast = ll_nz_cur + jnp.sum((pp_new - old_vals) * w)
+            ll_fast = ll_nz_cur + psum(jnp.sum((pp_new - old_vals) * w))
 
             def recompute(_):
                 pp = _pp_all(new_packed, params)
-                return pp, jnp.sum(pp)
+                return pp, psum(jnp.sum(pp))
 
             def keep(_):
                 return pp_fast, ll_fast
 
-            return jax.lax.cond(n_upd > cap_upd, recompute, keep, None)
+            # pmax makes the predicate identical on every shard, so the
+            # recompute branch's psum cannot deadlock
+            return jax.lax.cond(
+                pmax(n_upd) > cap_upd, recompute, keep, None
+            )
 
         # --- nuisance MH (reference cuda_lib_gl_single.py:2961) ------
         def propose_nuisance(key, params):
@@ -864,7 +1056,7 @@ class SweepEngine:
         def nuisance_step(key, state, packed, params, ll_t, pp_cur, ll_nz):
             test, k_acc = propose_nuisance(key, params)
             pp_test = _pp_all(packed, test)
-            nz_test = jnp.sum(pp_test)
+            nz_test = psum(jnp.sum(pp_test))
             ll_test = nz_test + zeros_packed_fast(packed, test, msf, n_pix)
             accept = jnp.exp(
                 jnp.clip(ll_test - ll_t, -50.0, 50.0)
@@ -910,16 +1102,22 @@ class SweepEngine:
                 X = jnp.stack([pp_d, g_d])
                 XU = jnp.einsum(
                     "bij,jc->bic", X, U,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_AGG_PRECISION,
                 )
                 PG = jnp.einsum(
                     "ic,bid->bcd", U, XU,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_AGG_PRECISION,
                 )
                 PG = jnp.moveaxis(PG, 0, -1)  # [ncp, ncp, 2]
                 bagg = (sub_ci, PG, PG.sum(1), PG.sum(0))
                 z = jnp.zeros(())
                 row_c = col_c = row_p = col_p = g_trans = z
+            elif plain:
+                # all-pixel scoring needs no per-pixel step context:
+                # no endpoint gathers, no trans term, no pixel cache
+                z = jnp.zeros(())
+                row_c = col_c = row_p = col_p = g_trans = z
+                bagg = ()
             else:
                 # only the contig-id and position lanes are needed per
                 # pixel-endpoint: gather 8-byte (id_c, pos) rows, not
@@ -937,6 +1135,8 @@ class SweepEngine:
                     - data_norm[:, 1]
                     + v * LOG10_E
                 )
+                if wmask is not None:
+                    g_trans = g_trans * wmask
                 bagg = ()
 
             cand = jnp.sort(
@@ -947,7 +1147,7 @@ class SweepEngine:
                 state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
                 ll_nz_cur, id_fA, max_id, params,
             )
-            stacked, packed_c, scores, n_sel = score_all(
+            stacked, packed_c, scores, nz_c, n_sel = score_all(
                 ctx, cand, first, bagg
             )
             n_overflow = jnp.sum(n_sel > (bcap if block else cap))
@@ -966,10 +1166,18 @@ class SweepEngine:
             new_packed = packed_c[cand_i, op]
 
             if block:
-                # one dense re-score of the accepted genome (~0.1 ms)
-                # replaces the masked incremental pp_cur update; the
-                # per-pixel cache is not carried at all in block mode
                 new_pad = jnp.pad(new_packed, ((0, 1), (0, 0)))
+            if plain or (block and exact_overflow):
+                # the chosen candidate's nz row already IS the accepted
+                # genome's exact total nz log-likelihood (plain scores
+                # every pixel; block's delta is exact and overflow rows
+                # were re-scored in full), so the post-accept dense
+                # re-score is redundant
+                ll_nz_cur = nz_c[cand_i, op]
+            elif block:
+                # truncating block mode (exact_overflow=False): keep
+                # the exact dense re-score so truncation can only
+                # affect the argmax, never the likelihood trajectory
                 ll_nz_cur = jnp.sum(pp_dense_all(new_pad, params))
             else:
                 pp_cur, ll_nz_cur = update_pp(
@@ -1001,6 +1209,34 @@ class SweepEngine:
                     return params, ll_t, jnp.asarray(False)
 
                 params, ll_t, accepted = jax.lax.cond(
+                    do_nuis, with_nuis, without_nuis, None
+                )
+            elif plain:
+                # no pixel cache to refresh: score the proposal over
+                # all pixels and keep params/ll on acceptance
+                def with_nuis(_):
+                    test, k_acc = propose_nuisance(k_nuis, params)
+                    nz_test = psum(jnp.sum(_pp_all(new_packed, test)))
+                    ll_test = nz_test + zeros_packed_fast(
+                        new_packed, test, msf, n_pix
+                    )
+                    accept = jnp.exp(
+                        jnp.clip(ll_test - ll_t, -50.0, 50.0)
+                    ) >= jax.random.uniform(k_acc, ())
+                    out_params = jax.tree.map(
+                        lambda a, b: jnp.where(accept, a, b), test, params
+                    )
+                    return (
+                        out_params,
+                        jnp.where(accept, ll_test, ll_t),
+                        jnp.where(accept, nz_test, ll_nz_cur),
+                        accept,
+                    )
+
+                def without_nuis(_):
+                    return params, ll_t, ll_nz_cur, jnp.asarray(False)
+
+                params, ll_t, ll_nz_cur, accepted = jax.lax.cond(
                     do_nuis, with_nuis, without_nuis, None
                 )
             else:
@@ -1046,16 +1282,17 @@ class SweepEngine:
                 k_perm, self.n_frags
             ).astype(jnp.int32)
             keys = jax.random.split(k_steps, self.n_frags)
-            if block:
-                # no per-pixel cache: the dense score matrix is
-                # recomputed from scratch inside every step
+            if block or plain:
+                # no per-pixel cache: block recomputes the dense score
+                # matrix inside every step, plain re-scores all pixels
+                # per candidate anyway
                 pp0 = jnp.zeros((1,), jnp.float32)
                 nz0 = jnp.float32(0.0)
             else:
                 # fresh per-pixel cache each cycle (bounds drift)
                 packed0 = project_packed(state, idx)
                 pp0 = _pp_all(packed0, params)
-                nz0 = jnp.sum(pp0)
+                nz0 = psum(jnp.sum(pp0))
             (state, params, ll_t, _, _), traces = jax.lax.scan(
                 sweep_step,
                 (state, params, ll_t, pp0, nz0),
@@ -1063,17 +1300,13 @@ class SweepEngine:
             )
             return state, params, ll_t, traces
 
-        self._cycle_fn = cycle_fn
-        self._run_cycle = jax.jit(cycle_fn)
-
-        @jax.jit
-        def _initial_ll(state, params):
+        def initial_fn(state, params):
             packed = project_packed(state, idx)
-            return jnp.sum(_pp_all(packed, params)) + zeros_packed_fast(
-                packed, params, msf, n_pix
-            )
+            return psum(
+                jnp.sum(_pp_all(packed, params))
+            ) + zeros_packed_fast(packed, params, msf, n_pix)
 
-        self._initial_ll = _initial_ll
+        return cycle_fn, initial_fn
 
     # ------------------------------------------------------------------
     def run_cycle(
@@ -1117,42 +1350,66 @@ class MultiChainSweep:
     def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if engine.mesh is not None:
+            raise ValueError(
+                "MultiChainSweep vmaps the cycle over chains; build the "
+                "engine with mesh=None (candidate shard_map does not "
+                "compose with the chain vmap)"
+            )
         self.engine = engine
         self.mesh = mesh
         self.n_chains = n_chains
         self._sharding = (
             NamedSharding(mesh, P("chains")) if mesh is not None else None
         )
+        # every per-chain quantity (state, params, ll, key) is batched:
+        # nuisance MH makes parameters diverge between chains after the
+        # first sampled cycle
         self._cycle_all = jax.jit(
-            jax.vmap(engine._cycle_fn, in_axes=(0, None, 0, 0, None))
+            jax.vmap(engine._cycle_fn, in_axes=(0, 0, 0, 0, None))
         )
+
+    def _put(self, tree):
+        if self._sharding is not None:
+            tree = jax.tree.map(
+                lambda x: jax.device_put(x, self._sharding), tree
+            )
+        return tree
 
     def broadcast_state(self, state: FragState) -> FragState:
-        out = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (self.n_chains, *x.shape)), state
-        )
-        if self._sharding is not None:
-            out = jax.tree.map(
-                lambda x: jax.device_put(x, self._sharding), out
+        return self._put(
+            jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (self.n_chains, *x.shape)),
+                state,
             )
-        return out
+        )
 
-    def run_cycle(self, states, params, lls, key, sample_param=True):
+    def broadcast_params(self, params):
+        return self._put(
+            jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    jnp.asarray(x, jnp.float32), (self.n_chains,)
+                ),
+                params,
+            )
+        )
+
+    def run_cycle(self, states, params_all, lls, key, sample_param=True):
         """Advance every chain one full cycle.
 
-        states: FragState stacked on a leading chain axis; lls: [C].
-        Returns (states, params is shared, per-chain lls, traces [C, n]).
+        states: FragState stacked on a leading chain axis; params_all:
+        RippeParams with [C] leaves (see broadcast_params); lls: [C].
+        Returns (states, params_all, per-chain lls, traces [C, n]).
         """
         keys = jax.random.split(key, self.n_chains)
         flags = np.full(self.engine.n_frags, bool(sample_param))
         states, params_all, lls, traces = self._cycle_all(
             states,
-            jax.tree.map(jnp.asarray, params),
+            jax.tree.map(jnp.asarray, params_all),
             jnp.asarray(lls, dtype=jnp.float32),
             keys,
             flags,
         )
-        # per-chain parameters evolve independently; keep them stacked
         traces = {k: np.asarray(v) for k, v in traces.items()}
         return states, params_all, np.asarray(lls), traces
 

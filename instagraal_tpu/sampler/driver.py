@@ -58,9 +58,17 @@ class Scaffolder:
         engine: str = "scan",
         slice_capacity=None,
         chains: int = 1,
+        shard_nnz: bool = False,
     ):
         """slice_capacity: int, "auto", or None (nnz // 8 default) —
         forwarded to SweepEngine; see suggest_slice_capacity.
+
+        shard_nnz: shard the contact matrix's COO pixel arrays across
+        all available devices (scan engine): per-chip HBM scales as
+        nnz / n_devices and every pixel reduction merges through psum
+        — the layout for genomes whose fine-level contact maps exceed
+        one chip (SURVEY.md §5.8). Mutually exclusive with chains > 1
+        (pick replication axis: chains or pixels).
 
         chains: number of independent MCMC chains run data-parallel on
         device (scan engine only). Chains share the initial genome but
@@ -93,8 +101,16 @@ class Scaffolder:
         self._sweep_engine = None  # built lazily (jit compile cost)
         self.sample_param = sample_param
         self.chains = int(chains)
+        self.shard_nnz = bool(shard_nnz)
         if self.chains > 1 and engine != "scan":
             raise ValueError("chains > 1 requires the scan engine")
+        if self.shard_nnz and self.chains > 1:
+            raise ValueError(
+                "chains > 1 and shard_nnz are mutually exclusive: "
+                "chains replicate the contact matrix per chain"
+            )
+        if self.shard_nnz and engine != "scan":
+            raise ValueError("shard_nnz requires the scan engine")
         self.collect: dict[str, list] = {k: [] for k in self.TRACE_NAMES}
         self.collect_mutations: list[tuple[int, int, int]] = []
         # first-class profiling (SURVEY.md §5.1): every EM loop
@@ -204,12 +220,22 @@ class Scaffolder:
         if bomb:
             sampler.bomb_the_genome()
         if self._sweep_engine is None:
+            kw = {}
+            if self.shard_nnz and len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+
+                kw = {"mesh": make_mesh(chains=1), "shard_nnz": True}
+                logger.info(
+                    "contact matrix sharded over %d devices",
+                    len(jax.devices()),
+                )
             with self.timer.phase("engine_build"):
                 self._sweep_engine = SweepEngine(
                     self.simulation,
                     n_neighbours=sampler.n_neighbours,
                     sample_param=self.sample_param,
                     slice_capacity=self.slice_capacity,
+                    **kw,
                 )
         engine = self._sweep_engine
         state = sampler.state
@@ -585,6 +611,7 @@ def run_instagraal(
     resume: bool = False,
     slice_capacity=None,
     chains: int = 1,
+    shard_nnz: bool = False,
     profile=None,
 ) -> None:
     """Run the scaffolding pipeline (reference instagraal.py:502-638).
@@ -621,6 +648,7 @@ def run_instagraal(
         circular=circular,
         slice_capacity=slice_capacity,
         chains=chains,
+        shard_nnz=shard_nnz,
     )
     import contextlib
 

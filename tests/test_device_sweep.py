@@ -28,6 +28,29 @@ class TestNeighbourTable:
         # distinct candidates
         assert len(set(np.asarray(cand).tolist())) == 4
 
+    def test_adaptive_table_width(self):
+        """With dense contact support the table widens past the old
+        fixed top-32 so 95% of fragments keep their full partner set
+        (the reference samples an exact categorical over all partners,
+        cuda_lib_gl_single.py:3053)."""
+        import scipy.sparse as sp
+
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=60, n_contigs=3, seed=0)
+        rng = np.random.default_rng(0)
+        ssim.level.sparse_mat_csr = sp.csr_matrix(
+            np.triu(rng.poisson(3.0, (60, 60)), 1).astype(np.float64)
+        )
+        eng = SweepEngine(ssim, backend="plain", sample_param=False)
+        assert eng.neighbour_k > 32
+        assert eng.neighbour_k <= 256
+        assert eng.table.ids.shape[1] == eng.neighbour_k
+        # sparse problems keep the compact default
+        ssim2 = SyntheticSim(n_frags=60, n_contigs=3, seed=0)
+        eng2 = SweepEngine(ssim2, backend="plain", sample_param=False)
+        assert eng2.neighbour_k == 32
+
     def test_sampling_prefers_high_counts(self):
         import scipy.sparse as sp
 
@@ -579,3 +602,110 @@ class TestShardedCandidates:
         mesh = make_mesh(n_devices=8, chains=1)
         eng = SweepEngine(ssim, mesh=mesh, n_neighbours=5)
         assert eng.n_neighbours == 8
+
+
+class TestShardNnz:
+    """COO nnz-axis sharding (SURVEY.md §5.8, BASELINE config #5): the
+    contact matrix is split across the mesh's shards axis, every pixel
+    reduction runs on the local shard and merges through psum, and the
+    cycle must match the replicated engine within float noise."""
+
+    def _engines(self, backend, **kw):
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        mesh = make_mesh(n_devices=8, chains=1)
+        e_rep = SweepEngine(
+            ssim, backend=backend, sample_param=True, **kw
+        )
+        e_shard = SweepEngine(
+            ssim, backend=backend, sample_param=True, mesh=mesh,
+            shard_nnz=True, **kw,
+        )
+        return ssim, e_rep, e_shard
+
+    def test_pixel_shards_are_distinct_per_device(self):
+        ssim, _, e_shard = self._engines("full")
+        rows_s, cols_s, dn_s, wm_s = e_shard._pix_sharded
+        shards = rows_s.addressable_shards
+        assert len(shards) == 8
+        per_dev = {s.device for s in shards}
+        assert len(per_dev) == 8  # one slice in each device's memory
+        # each device holds nnz/8 pixels, and the slices differ
+        n_loc = rows_s.shape[0] // 8
+        assert all(s.data.shape[0] == n_loc for s in shards)
+        datas = [np.asarray(s.data) for s in shards]
+        assert not all(np.array_equal(datas[0], d) for d in datas[1:])
+        # concatenated shards reproduce the padded COO row list
+        np.testing.assert_array_equal(
+            np.concatenate(datas), np.asarray(rows_s)
+        )
+
+    def test_sharded_cycle_matches_replicated(self):
+        ssim, e_rep, e_shard = self._engines("full")
+        ll0_r = e_rep.initial_ll(ssim.state, ssim.params)
+        ll0_s = e_shard.initial_ll(ssim.state, ssim.params)
+        assert abs(ll0_r - ll0_s) < 1e-2 + 1e-5 * abs(ll0_r)
+        key = jax.random.PRNGKey(1)
+        _, _, ll_r, tr_r = e_rep.run_cycle(
+            ssim.state, ssim.params, ll0_r, key, sample_param=True
+        )
+        _, _, ll_s, tr_s = e_shard.run_cycle(
+            ssim.state, ssim.params, ll0_s, key, sample_param=True
+        )
+        # psum reassociates the f32 pixel sums, so a near-tie argmax can
+        # legitimately pick a different (equally-scored) move; require
+        # the overwhelming majority of decisions to match and the
+        # likelihood trajectories to stay within float noise throughout
+        np.testing.assert_array_equal(tr_r["id_fA"], tr_s["id_fA"])
+        same_op = np.mean(tr_r["op"] == tr_s["op"])
+        assert same_op > 0.9, f"only {same_op:.0%} of moves match"
+        np.testing.assert_allclose(
+            tr_r["likelihood"], tr_s["likelihood"], rtol=1e-3, atol=5.0
+        )
+        assert abs(ll_r - ll_s) < 5.0 + 1e-3 * abs(ll_r)
+
+    def test_sharded_overflow_fallback_exact(self):
+        """Undersized per-shard capacity must trigger the exact
+        full-matrix psum fallback, not corrupt scores."""
+        ssim, e_rep, e_shard = self._engines("sliced", slice_capacity=2)
+        ll0 = e_rep.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(3)
+        _, _, _, tr_r = e_rep.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        _, _, _, tr_s = e_shard.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        assert tr_s["slice_overflow"].sum() > 0
+        np.testing.assert_array_equal(tr_r["id_fA"], tr_s["id_fA"])
+        np.testing.assert_allclose(
+            tr_r["likelihood"], tr_s["likelihood"], rtol=1e-4, atol=0.5
+        )
+
+    def test_block_backend_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._engines("block")
+
+    def test_driver_shard_nnz_end_to_end(self, toy_pre, tmp_path_factory):
+        """The CLI-reachable path: Scaffolder(shard_nnz=True) scaffolds
+        with the contact matrix sharded over the 8-device CPU mesh."""
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("shard_nnz_e2e")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=0, size_pyramid=4,
+            shard_nnz=True,
+        )
+        n_frags = scaf.sampler.n_frags
+        scaf.full_em(n_cycles=2, bomb=True)
+        assert scaf._sweep_engine.shard_nnz
+        assert (scaf.out / "genome.fasta").exists()
+        lls = np.loadtxt(scaf.out / "list_likelihood.txt")
+        assert len(lls) == 2 * n_frags
+        assert lls[-1] > lls[0]
+        assert scaf.sampler.n_contigs < n_frags / 2

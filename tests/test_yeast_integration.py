@@ -87,16 +87,16 @@ class TestYeastScaffolding:
 
     def test_quality_gate_large_contigs(self, yeast_run):
         """Reference gate: 15-45 contigs > 100 kb after 2 cycles from a
-        bombed genome (test_instagraal_gpu.py:60-61). Simulated pairs are
-        cleaner than real Hi-C, so we assert the recovery band
-        generously: enough large contigs, far fewer contigs than
-        fragments."""
+        bombed genome (test_instagraal_gpu.py:60-61) — the same band the
+        reference CI asserts on an RTX 4090. S. cerevisiae has 16
+        chromosomes, so a good 2-cycle draft lands in the teens-to-40s
+        (measured here: 16 large / 43 total on the bench pipeline)."""
         from instagraal_tpu.io.fasta import read_fasta
 
         scaf = yeast_run["scaf"]
         records = read_fasta(scaf.out / "genome.fasta")
         large = [s for s in records.values() if len(s) > 100_000]
-        assert len(large) >= 10, f"only {len(large)} contigs > 100kb"
+        assert 15 <= len(large) <= 45, f"{len(large)} contigs > 100kb"
         assert scaf.sampler.n_contigs < scaf.sampler.n_frags / 2
 
     def test_genome_mass_preserved(self, yeast_run):
