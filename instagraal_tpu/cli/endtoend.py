@@ -37,6 +37,8 @@ def _run_endtoend(
     junction,
     dry_run,
     seed,
+    chains=1,
+    shard_nnz=False,
 ):
     output_dir = pathlib.Path(output_dir)
     hic_dir = output_dir / "hic"
@@ -65,6 +67,10 @@ def _run_endtoend(
         scaffold_cmd.append("--circular")
     if bomb:
         scaffold_cmd.append("--bomb")
+    if chains > 1:
+        scaffold_cmd += ["--chains", str(chains)]
+    if shard_nnz:
+        scaffold_cmd.append("--shard-nnz")
 
     info_frags = (
         mcmc_dir / "hic" / f"test_mcmc_{level}" / "info_frags.txt"
@@ -168,6 +174,19 @@ def _run_endtoend(
     help="Print the commands without running them.",
 )
 @click.option("--seed", default=0, show_default=True, type=int)
+@click.option(
+    "--chains",
+    default=1,
+    show_default=True,
+    type=int,
+    help="Data-parallel MCMC chains for the scaffold step.",
+)
+@click.option(
+    "--shard-nnz",
+    is_flag=True,
+    default=False,
+    help="Shard the contact matrix across devices in the scaffold step.",
+)
 def main(
     fasta,
     pairs,
@@ -183,6 +202,8 @@ def main(
     junction,
     dry_run,
     seed,
+    chains,
+    shard_nnz,
 ):
     """Run the full Hi-C scaffolding pipeline end to end.
 
@@ -205,6 +226,8 @@ def main(
         junction,
         dry_run,
         seed,
+        chains=chains,
+        shard_nnz=shard_nnz,
     )
 
 

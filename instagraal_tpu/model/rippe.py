@@ -108,18 +108,47 @@ def expected_counts_fast(s, s_tot, p: RippeParams):
     association (~1e-7 relative); the hot scoring path uses this form,
     reference-spec code paths keep the branch-exact `expected_counts`.
     """
+    return expected_counts_with_log10(s, s_tot, p)[0]
+
+
+LOG10_E_ = np.float32(0.4342944819032518)
+LN_053 = np.float32(-0.6348782724359695)  # ln(0.53)
+
+
+def expected_counts_with_log10(s, s_tot, p: RippeParams):
+    """(ex, log10(ex)) at 2 transcendentals per element.
+
+    The single-exp rewrite of `expected_counts_fast`:
+
+      val = coef * exp(slope*ln(x) + (d-2)/(x^2+d)),
+      coef = w * kuhn^-3 * fact
+
+    makes the exp's argument (plus ln(coef)) the natural log of val, so
+    log10(val) falls out with no extra elementwise transcendental —
+    where the naive form pays pow (= log+exp), exp AND log10 per
+    element (7 -> 4 per pixel across the two expectations of
+    `pp_rows_fast`, the hot-loop bound on TPU: the dense-grid rescore
+    fusion is VPU-transcendental-bound, 33% of a yeast-L4 sweep step).
+    Scalar logs of (kuhn, fact, v_inter) are hoisted out of the
+    element loop. Equal to `expected_counts` up to f32 association.
+    """
     K = p.lm / p.kuhn
     circ = s_tot > 0
     s_tot_safe = jnp.where(circ, s_tot, 1.0)
     x = s * K * jnp.where(circ, (s_tot_safe - s) / s_tot_safe, 1.0)
     x_safe = jnp.where(x > 0, x, 1.0)
-    w = jnp.where(circ, 1.0, 0.53)
-    val = (
-        w
-        * jnp.power(p.kuhn, -3.0)
-        * p.fact
-        * jnp.power(x_safe, p.slope)
-        * jnp.exp((p.d - 2.0) / (jnp.square(x_safe) + p.d))
+    # per-element: 1 log + 1 exp
+    ln_arg = p.slope * jnp.log(x_safe) + (p.d - 2.0) / (
+        jnp.square(x_safe) + p.d
     )
-    result = jnp.where((s > 0.0) & (s < p.d_max), val, 0.0)
-    return jnp.maximum(result, p.v_inter)
+    # scalar hoists (traced once per call, not per element)
+    ln_coef0 = jnp.log(p.fact) - 3.0 * jnp.log(p.kuhn)
+    ln_coef = ln_coef0 + jnp.where(circ, 0.0, LN_053)
+    val = jnp.exp(ln_arg + ln_coef)
+    log10_v_inter = jnp.log(jnp.maximum(p.v_inter, 1e-38)) * LOG10_E_
+    take_val = (s > 0.0) & (s < p.d_max) & (val > p.v_inter)
+    ex = jnp.where(take_val, val, p.v_inter)
+    log10_ex = jnp.where(
+        take_val, (ln_arg + ln_coef) * LOG10_E_, log10_v_inter
+    )
+    return ex, log10_ex

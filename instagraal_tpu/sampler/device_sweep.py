@@ -63,7 +63,12 @@ import numpy as np
 from ..core.moves import N_MUTATIONS, all_candidate_states, renumber_contigs
 from ..core.state import FragState
 from ..model.likelihood import LOG10_E, log10_poisson, poisson_norm
-from ..model.rippe import RippeParams, expected_counts, expected_counts_fast
+from ..model.rippe import (
+    RippeParams,
+    expected_counts,
+    expected_counts_fast,
+    expected_counts_with_log10,
+)
 
 PACK = 8  # packed attribute row width (5 used lanes, padded to 8)
 
@@ -159,6 +164,12 @@ def project_packed(state: FragState, idx) -> jnp.ndarray:
     to project_to_sub (uni_fill_vect_dist, kernel :3763) but laid out
     for one-row-per-gather access.
     """
+    # Measured negative result: packing the 7 needed lanes into one
+    # [n_frags, 8] matrix and fetching them with a single row gather
+    # ran 11% SLOWER end-to-end (350 vs 393 steps/s yeast-L4) — under
+    # the 5x24 candidate vmap the pack materializes a [5,24,n_frags,8]
+    # intermediate that costs more than the 8 small per-lane gathers
+    # it replaces. Keep the per-lane form.
     f = idx.frag_of_sub
     ori = state.ori[f]
     d = jnp.where(ori == 1, idx.w_dist, idx.c_dist)
@@ -209,8 +220,10 @@ def pp_rows_fast(ra, ca, dn, p: RippeParams, msf):
 
     ra/ca: [..., PACK] packed endpoint rows; dn: [..., 2] rows of
     (observed count, poisson_norm(count)). Equal to `pp_from_attrs` up
-    to f32 association: uses the unified single-transcendental Rippe
-    form and the precomputed data-only Poisson normalization.
+    to f32 association: uses the single-exp Rippe form whose argument
+    doubles as log10(expected) (expected_counts_with_log10 — 4
+    elementwise transcendentals per pixel instead of 7) and the
+    precomputed data-only Poisson normalization.
     """
     data = dn[..., 0]
     norm = dn[..., 1]
@@ -220,14 +233,14 @@ def pp_rows_fast(ra, ca, dn, p: RippeParams, msf):
     circ = ra[..., 2] > 0
     s_tot = jnp.where(circ, ra[..., 2], 0.0)
     s_tot_z = jnp.where(circ, ra[..., 4] * msf, 0.0)
-    ex = jnp.where(cis, expected_counts_fast(s, s_tot, p), p.v_inter)
-    ex_z = jnp.where(cis, expected_counts_fast(s_z, s_tot_z, p), p.v_inter)
-    return (
-        data * jnp.log10(jnp.maximum(ex, 1e-38))
-        - ex
-        - norm
-        + ex_z * LOG10_E
+    ex_c, log_ex_c = expected_counts_with_log10(s, s_tot, p)
+    log10_v = jnp.log(jnp.maximum(p.v_inter, 1e-38)) * np.float32(
+        0.4342944819032518
     )
+    ex = jnp.where(cis, ex_c, p.v_inter)
+    log_ex = jnp.where(cis, log_ex_c, log10_v)
+    ex_z = jnp.where(cis, expected_counts_fast(s_z, s_tot_z, p), p.v_inter)
+    return data * log_ex - ex - norm + ex_z * LOG10_E
 
 
 def zeros_from_packed(packed, p: RippeParams, msf, n_pix_total):
@@ -838,10 +851,15 @@ class SweepEngine:
             diff = (a != b).astype(jnp.float32)
             # inclusion-exclusion over the (pp_cur, g_trans) aggregates:
             # touch = row-in + col-in - both-in; single = touch - both
-            t_sum = PG_rowsum[a] + PG_colsum[a] + diff * (
-                PG_rowsum[b] + PG_colsum[b]
+            # PG layout is [2, ncp, ncp] (X-major): keeping the einsum
+            # output layout avoids a [ncp, ncp, 2] physical transpose
+            # copy per step (profiled at 0.18 ms/step on yeast L4)
+            t_sum = PG_rowsum[:, a] + PG_colsum[:, a] + diff * (
+                PG_rowsum[:, b] + PG_colsum[:, b]
             )
-            both = PG[a, a] + diff * (PG[a, b] + PG[b, a] + PG[b, b])
+            both = PG[:, a, a] + diff * (
+                PG[:, a, b] + PG[:, b, a] + PG[:, b, b]
+            )
             cur_slice = t_sum[0] - both[0]
             g_single = t_sum[1] - 2.0 * both[1]
 
@@ -850,6 +868,12 @@ class SweepEngine:
             n_mem = jnp.sum(mem).astype(jnp.int32)
             p24 = jnp.pad(packed24, ((0, 0), (0, 1), (0, 0)))
             rows24 = jnp.take(p24, ids, axis=1)  # [24, bcap, PACK]
+            # chained row/col takes (two contiguous-row gathers). The
+            # "obvious" fused 2D advanced-indexing form
+            # dn_dense[ids[:,None], ids[None,:]] lowers to a scalarized
+            # general gather on TPU and measured 2.8x SLOWER end-to-end
+            # (133 vs 368 steps/s) — the [bcap, n_sub, 2] intermediate
+            # is the cheaper evil.
             dnb = jnp.take(
                 jnp.take(dn_dense, ids, axis=0), ids, axis=1
             )  # [bcap, bcap, 2]
@@ -872,7 +896,9 @@ class SweepEngine:
 
             Returns (stacked [n_cand,24,...] states, packed
             [n_cand,24,n_sub,PACK], scores [n_cand,24], raw nz
-            [n_cand,24], n_sel [n_cand]).
+            [n_cand,24], n_sel [n_cand]). Under the candidate-sharding
+            mesh the overflow rescore cond runs per shard (only shards
+            whose local candidates overflow pay the exact pass).
             """
             params = ctx[-1]
 
@@ -895,10 +921,59 @@ class SweepEngine:
                     nz, n_sel = jax.vmap(
                         lambda b, pk: delta_candidate(ctx_l, b, pk)
                     )(cand_l, packed)
-                return stacked, packed, valid, nz, n_sel
+
+                prm = ctx_l[-1]
+                if exact_overflow and not plain:
+                    # one exact full-matrix pass for the whole
+                    # candidate batch when any slice overflows; its
+                    # rows replace only the overflowed candidates.
+                    # Aggregating the predicate over candidates keeps
+                    # this a real branch in the scan and an exact
+                    # select under vmap. (In block mode the capacity is
+                    # in member sub-fragments, not pixels.)
+                    over = n_sel > (bcap if block else cap)
+
+                    if block:
+
+                        def full_all(pk):
+                            pkp = jnp.pad(
+                                pk, ((0, 0), (0, 0), (0, 1), (0, 0))
+                            )
+                            return jax.vmap(
+                                lambda pk24: _nz24_dense(pk24, prm)
+                            )(pkp)
+
+                    else:
+
+                        def full_all(pk):
+                            return jax.vmap(
+                                lambda pk24: _nz24_all(pk24, prm)
+                            )(pk)
+
+                    nz_full = jax.lax.cond(
+                        jnp.any(over), full_all, lambda pk: nz, packed
+                    )
+                    nz = jnp.where(over[:, None], nz_full, nz)
+
+                zeros = jax.vmap(
+                    jax.vmap(
+                        lambda pk: zeros_packed_fast(pk, prm, msf, n_pix)
+                    )
+                )(packed)
+                scores = jnp.where(valid, nz + zeros, -jnp.inf)
+                # nz returned for the accept shortcut (the winner's nz
+                # row IS the new genome's total nz log-likelihood).
+                # Measured negative result: dropping stacked/packed
+                # from the outputs and RE-generating the winning
+                # mutation after the argmax (hoping XLA would DCE the
+                # unread lanes of the 120 mutated states) ran 14%
+                # slower end-to-end (338 vs 393 steps/s yeast-L4) —
+                # the select from the existing stack is cheaper than
+                # one extra 24-way generation.
+                return stacked, packed, scores, nz, n_sel
 
             if mesh is None:
-                stacked, packed, valid, nz, n_sel = local(
+                stacked, packed, scores, nz, n_sel = local(
                     cand, first, ctx, bagg
                 )
             else:
@@ -909,7 +984,7 @@ class SweepEngine:
                 except ImportError:  # older jax
                     from jax.experimental.shard_map import shard_map
 
-                stacked, packed, valid, nz, n_sel = shard_map(
+                stacked, packed, scores, nz, n_sel = shard_map(
                     local,
                     mesh=mesh,
                     in_specs=(P("shards"), P("shards"), P(), P()),
@@ -917,46 +992,6 @@ class SweepEngine:
                     check_vma=False,
                 )(cand, first, ctx, bagg)
 
-            if exact_overflow and not plain:
-                # one exact full-matrix pass for the whole candidate
-                # batch when any slice overflows; its rows replace only
-                # the overflowed candidates. Aggregating the predicate
-                # over candidates keeps this a real branch in the scan
-                # and an exact select under vmap. (In block mode the
-                # capacity is in member sub-fragments, not pixels.)
-                over = n_sel > (bcap if block else cap)
-
-                if block:
-
-                    def full_all(pk):
-                        pkp = jnp.pad(
-                            pk, ((0, 0), (0, 0), (0, 1), (0, 0))
-                        )
-                        return jax.vmap(
-                            lambda pk24: _nz24_dense(pk24, params)
-                        )(pkp)
-
-                else:
-
-                    def full_all(pk):
-                        return jax.vmap(
-                            lambda pk24: _nz24_all(pk24, params)
-                        )(pk)
-
-                nz_full = jax.lax.cond(
-                    jnp.any(over), full_all, lambda pk: nz, packed
-                )
-                nz = jnp.where(over[:, None], nz_full, nz)
-
-            zeros = jax.vmap(
-                jax.vmap(
-                    lambda pk: zeros_packed_fast(pk, params, msf, n_pix)
-                )
-            )(packed)
-            scores = jnp.where(valid, nz + zeros, -jnp.inf)
-            # nz returned too: for exact backends the accepted move's
-            # nz row IS the new genome's total nz log-likelihood, so
-            # the post-accept dense/full re-score can be skipped
             return stacked, packed, scores, nz, n_sel
 
         # --- exact incremental pp_cur update after an accepted move --
@@ -1108,8 +1143,9 @@ class SweepEngine:
                     "ic,bid->bcd", U, XU,
                     precision=_AGG_PRECISION,
                 )
-                PG = jnp.moveaxis(PG, 0, -1)  # [ncp, ncp, 2]
-                bagg = (sub_ci, PG, PG.sum(1), PG.sum(0))
+                # keep the [2, ncp, ncp] einsum-native layout (see
+                # block_candidate) — no transpose copy
+                bagg = (sub_ci, PG, PG.sum(2), PG.sum(1))
                 z = jnp.zeros(())
                 row_c = col_c = row_p = col_p = g_trans = z
             elif plain:

@@ -527,25 +527,28 @@ class TestMultiChainSweep:
         from instagraal_tpu.testing import SyntheticSim
 
         ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
-        # capacity far below the real slices: every step overflows
+        # capacity far below the real slices: every step overflows and
+        # takes the exact full-rescore cond branch
         engine = SweepEngine(
             ssim, backend="sliced", sample_param=False, slice_capacity=4,
             exact_overflow=True,
         )
-        eng_full = SweepEngine(ssim, backend="full", sample_param=False)
-        ll0 = eng_full.initial_ll(ssim.state, ssim.params)
+        ll0 = engine.initial_ll(ssim.state, ssim.params)
         key = jax.random.PRNGKey(5)
-        _, _, _, tr_ref = eng_full.run_cycle(
+        # the SAME engine run unvmapped: under the scan the overflow
+        # cond is a real branch...
+        _, _, _, tr_ref = engine.run_cycle(
             ssim.state, ssim.params, ll0, key, sample_param=False
         )
-        assert tr_ref is not None
+        assert tr_ref["slice_overflow"].sum() > 0
 
+        # ...and under the chain vmap it lowers to a select of two
+        # exact scorings — chain 0, seeded identically, must follow
+        # the identical trajectory
         mc = MultiChainSweep(engine, n_chains=2)
         states = mc.broadcast_state(ssim.state)
         lls = np.full(2, ll0)
         keys_used = jax.random.split(key, 2)
-        # run the chains with the same key the single-chain run used in
-        # chain slot 0 by calling the vmapped cycle directly
         states2, p_all, lls2, tr_mc = mc._cycle_all(
             states,
             mc.broadcast_params(ssim.params),
@@ -555,6 +558,9 @@ class TestMultiChainSweep:
         )
         np.testing.assert_array_equal(
             np.asarray(tr_mc["id_fA"])[0], tr_ref["id_fA"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tr_mc["op"])[0], tr_ref["op"]
         )
         np.testing.assert_allclose(
             np.asarray(tr_mc["likelihood"])[0],
