@@ -26,7 +26,17 @@ from .mesh import CHAINS_AXIS, SHARDS_AXIS, shard_coo
 
 
 class MultiChainSampler:
-    """C independent chains advanced in lock-step on a device mesh."""
+    """C independent chains advanced in lock-step on a device mesh.
+
+    This is the SIMPLE reference engine for the (chains, shards) mesh
+    layout: one host-driven step per call, with the per-chain nnz
+    likelihood reduction sharded over "shards" and psum-merged. The
+    PRODUCTION multi-chain path is `sampler.device_sweep.
+    MultiChainSweep` (whole cycles on device, driven by
+    `Scaffolder(chains=C)` / `instagraal --chains`); this class remains
+    the minimal, step-introspectable equivalent used by the multichip
+    dryrun and the sharding equivalence tests (tests/test_parallel.py).
+    """
 
     def __init__(
         self,

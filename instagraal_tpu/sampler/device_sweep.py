@@ -845,20 +845,35 @@ class SweepEngine:
         def block_candidate(ctx, bagg, id_fB, packed24):
             (state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
              ll_nz_cur, id_fA, max_id, params) = ctx
-            sub_ci, PG, PG_rowsum, PG_colsum = bagg
+            sub_ci, XU, Xrowcol = bagg
             a = state.id_c[id_fA]
             b = state.id_c[id_fB]
             diff = (a != b).astype(jnp.float32)
             # inclusion-exclusion over the (pp_cur, g_trans) aggregates:
-            # touch = row-in + col-in - both-in; single = touch - both
-            # PG layout is [2, ncp, ncp] (X-major): keeping the einsum
-            # output layout avoids a [ncp, ncp, 2] physical transpose
-            # copy per step (profiled at 0.18 ms/step on yeast L4)
-            t_sum = PG_rowsum[:, a] + PG_colsum[:, a] + diff * (
-                PG_rowsum[:, b] + PG_colsum[:, b]
+            # touch = row-in + col-in - both-in; single = touch - both.
+            # The candidate needs only 4 contig-pair entries and two
+            # marginal sums, all linear in the HALF-contracted
+            # aggregate XU[x, i, c] = sum_j X[x,i,j] U[j,c]:
+            #   PG[:, c, d]   = XU[..., d] . mask_c
+            #   rowsum+colsum = (X.sum(2) + X.sum(1)) . mask_c
+            # — so the full [2, ncp, ncp] PG matrix (second einsum +
+            # an unavoidable 86 ms/cycle layout copy, XProf) is never
+            # materialized. The pad row's id_c is remapped to -1 so it
+            # can't alias contig 0 (its X rows are all-zero anyway).
+            ci_pad = jnp.pad(sub_ci, (0, 1), constant_values=-1)
+            ma = (ci_pad == a).astype(jnp.float32)
+            mb = (ci_pad == b).astype(jnp.float32)
+            prec = _AGG_PRECISION
+            t_sum = jnp.einsum(
+                "xs,s->x", Xrowcol, ma, precision=prec
+            ) + diff * jnp.einsum(
+                "xs,s->x", Xrowcol, mb, precision=prec
             )
-            both = PG[:, a, a] + diff * (
-                PG[:, a, b] + PG[:, b, a] + PG[:, b, b]
+            Xa = jnp.take(XU, a, axis=2)  # [2, S+1]
+            Xb = jnp.take(XU, b, axis=2)
+            dot = lambda u, m: jnp.einsum("xs,s->x", u, m, precision=prec)
+            both = dot(Xa, ma) + diff * (
+                dot(Xb, ma) + dot(Xa, mb) + dot(Xb, mb)
             )
             cur_slice = t_sum[0] - both[0]
             g_single = t_sum[1] - 2.0 * both[1]
@@ -1135,17 +1150,14 @@ class SweepEngine:
                     u_src[:, None] == jnp.arange(ncp)[None, :]
                 ).astype(jnp.float32)
                 X = jnp.stack([pp_d, g_d])
+                # half-contracted aggregate: candidates finish the
+                # second contraction themselves with masked dots (see
+                # block_candidate) — the full PG is never built
                 XU = jnp.einsum(
                     "bij,jc->bic", X, U,
                     precision=_AGG_PRECISION,
                 )
-                PG = jnp.einsum(
-                    "ic,bid->bcd", U, XU,
-                    precision=_AGG_PRECISION,
-                )
-                # keep the [2, ncp, ncp] einsum-native layout (see
-                # block_candidate) — no transpose copy
-                bagg = (sub_ci, PG, PG.sum(2), PG.sum(1))
+                bagg = (sub_ci, XU, X.sum(2) + X.sum(1))
                 z = jnp.zeros(())
                 row_c = col_c = row_p = col_p = g_trans = z
             elif plain:

@@ -199,6 +199,26 @@ class TestMultiChainEm:
         # scaffolding worked: contiguity recovered after the bomb
         assert scaf.sampler.n_contigs < n_frags / 2
 
+    def test_best_chain_at_least_single(self, toy_pre, tmp_path_factory):
+        """The point of chains: the best of C independent explorations
+        should reach at least the likelihood a single chain (run with
+        the same seed) reaches, within noise — best-chain selection
+        can only help."""
+        from instagraal_tpu.sampler import Scaffolder
+
+        finals = {}
+        for label, chains in (("single", 1), ("multi", 3)):
+            out = tmp_path_factory.mktemp(f"quality_{label}")
+            scaf = Scaffolder(
+                "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+                output_folder=out, seed=11, size_pyramid=4,
+                chains=chains,
+            )
+            scaf.full_em(n_cycles=2, bomb=True)
+            finals[label] = scaf.sampler.likelihood_t
+        gain = abs(finals["single"])
+        assert finals["multi"] >= finals["single"] - 0.02 * gain, finals
+
     def test_multi_chain_checkpoint_resume(self, toy_pre, tmp_path_factory):
         from instagraal_tpu.sampler import Scaffolder
         from instagraal_tpu.sampler import checkpoint as ckpt
