@@ -114,6 +114,9 @@ def main():
 
     steps = N_CYCLES * sim.n_frags
     steps_per_sec = steps / elapsed
+    # BASELINE.json's named metric: each step scores n_neighbours x 24
+    # full-genome candidate likelihoods (+1 nuisance MH evaluation)
+    evals_per_sec = steps_per_sec * (engine.n_neighbours * 24 + 1)
     print(
         json.dumps(
             {
@@ -123,6 +126,7 @@ def main():
                 f"nnz={nnz}, 5x24 mutations/step + nuisance MH, "
                 f"scan engine, backend={engine.backend}, "
                 f"cycles/hour={round(3600 * steps_per_sec / sim.n_frags)}, "
+                f"genome_likelihood_evals/s/chip={round(evals_per_sec)}, "
                 f"device={jax.devices()[0].platform})",
                 "vs_baseline": round(
                     steps_per_sec / REFERENCE_STEPS_PER_SEC, 3
