@@ -148,6 +148,16 @@ from ..log import set_level
     ),
 )
 @click.option(
+    "--steps-per-call",
+    default=None,
+    type=int,
+    help=(
+        "Max sweep steps per device call (default: auto, 1024 on "
+        "fine levels). Bit-identical to a single-call cycle; bounds "
+        "per-call wall time on transports with execution watchdogs."
+    ),
+)
+@click.option(
     "--shard-nnz",
     is_flag=True,
     default=False,
@@ -189,6 +199,7 @@ def main(
     resume,
     slice_cap,
     chains,
+    steps_per_call,
     shard_nnz,
     profile,
     quiet,
@@ -236,6 +247,9 @@ def main(
         ),
         chains=chains,
         shard_nnz=shard_nnz,
+        steps_per_call=(
+            "auto" if steps_per_call is None else steps_per_call
+        ),
         profile=profile,
     )
 

@@ -383,6 +383,7 @@ class SweepEngine:
         wide_rows: bool = False,
         block_capacity: int | str = "auto",
         shard_nnz: bool = False,
+        steps_per_call: int | str | None = "auto",
     ):
         """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
         given, candidate scoring is sharded across its devices with
@@ -401,6 +402,15 @@ class SweepEngine:
         and merges through psum; the O(n_frags) sweep control is
         replicated. Not composable with the block backend (whose dense
         grid is not pixel-sharded), wide_rows, or MultiChainSweep.
+
+        steps_per_call: split each cycle into device calls of at most
+        this many sweep steps (the per-pixel cache threads between
+        calls, so results are bit-identical to the single-call cycle).
+        Needed where a transport kills any single device execution
+        past a wall-time budget — the tunneled TPU used for
+        development faults runs >~60 s, which a fine-level cycle
+        (thousands of fragments x ~10 ms) exceeds. None = whole cycle
+        in one call. Not composable with shard_nnz yet.
 
         exact_overflow: when True (default), any candidate whose
         touched slice exceeds ``slice_capacity`` triggers one exact
@@ -466,6 +476,28 @@ class SweepEngine:
                     if suggest_slice_capacity(sim) <= slice_capacity
                     else "sliced"
                 )
+        if steps_per_call == "auto":
+            # bound a device call to ~20-30 s under the ~60 s transport
+            # execution watchdog, using measured per-step cost models:
+            # delta backends are per-candidate O(nnz) (~18 ns/pixel/
+            # candidate at yeast L2 => ~2.5e8 pixel-steps per call);
+            # the block backend is O((n_sub+1)^2) dense-grid bound
+            # (~2e10 cell-steps per call). Negligible dispatch overhead
+            # either way. Chunking is not composed with shard_nnz yet,
+            # so the auto default degrades to single-call there.
+            if backend == "block":
+                auto = int(2e10 / max((n_sub_total + 1) ** 2, 1))
+            else:
+                auto = int(2.5e8 / max(nnz, 1))
+            auto = max(64, min(1024, auto))
+            steps_per_call = (
+                auto if sim.n_frags > auto and not shard_nnz else None
+            )
+        self.steps_per_call = steps_per_call
+        if shard_nnz and steps_per_call is not None:
+            raise ValueError(
+                "steps_per_call is not composable with shard_nnz yet"
+            )
         if block_capacity == "auto":
             # dense rescore cost grows as block_capacity^2 while the
             # overflow fallback (one dense full pass) is cheap, so size
@@ -569,11 +601,13 @@ class SweepEngine:
             return x
 
         if not shard_nnz:
-            cycle_fn, initial_fn = self._make_cycle(
+            cycle_fn, initial_fn, chunk_fn, init_cache = self._make_cycle(
                 idx, rows, cols, data_norm, dn_dense, msf, n_pix,
                 n_cand, cap, cap_upd, n_bounds, dist_fn, backend,
                 wide_rows, exact_overflow, mesh, None, _ident, _ident,
             )
+            self._run_chunk = jax.jit(chunk_fn)
+            self._init_cache = jax.jit(init_cache)
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -614,6 +648,8 @@ class SweepEngine:
                 )
 
             pspec = (P("shards"), P("shards"), P("shards"), P("shards"))
+
+            self._run_chunk = None  # chunking not composed with shard_nnz
 
             def cycle_fn(state, params, ll_t, key, flags):
                 def inner(state, params, ll_t, key, flags, r, c, dn, wm):
@@ -948,22 +984,50 @@ class SweepEngine:
                     # in member sub-fragments, not pixels.)
                     over = n_sel > (bcap if block else cap)
 
+                    # the fallback is SERIALIZED over candidates and
+                    # mutations (lax.map, not vmap): a vmapped exact
+                    # pass materializes [n_cand, 24, nnz, PACK] gather
+                    # buffers inside the cond branch — ~10 GB at yeast
+                    # L2 (1.4M nnz), which crashed the TPU worker even
+                    # though the branch is rarely executed (XLA
+                    # allocates the union of branch buffers). One
+                    # [nnz]-sized rescore at a time keeps the peak at
+                    # ~100 MB; the fallback is rare, so the serial
+                    # latency is irrelevant.
                     if block:
 
                         def full_all(pk):
-                            pkp = jnp.pad(
-                                pk, ((0, 0), (0, 0), (0, 1), (0, 0))
-                            )
-                            return jax.vmap(
-                                lambda pk24: _nz24_dense(pk24, prm)
-                            )(pkp)
+                            def per_cand(pk24):
+                                pkp = jnp.pad(pk24, ((0, 0), (0, 1), (0, 0)))
+                                return jax.lax.map(
+                                    lambda p1: jnp.sum(
+                                        jnp.where(
+                                            dn_dense[..., 0] > 0,
+                                            pp_rows_fast(
+                                                p1[:, None, :],
+                                                p1[None, :, :],
+                                                dn_dense, prm, msf,
+                                            ),
+                                            0.0,
+                                        )
+                                    ),
+                                    pkp,
+                                )
+
+                            return jax.lax.map(per_cand, pk)
 
                     else:
 
                         def full_all(pk):
-                            return jax.vmap(
-                                lambda pk24: _nz24_all(pk24, prm)
-                            )(pk)
+                            def per_cand(pk24):
+                                return jax.lax.map(
+                                    lambda p1: psum(
+                                        jnp.sum(_pp_all(p1, prm))
+                                    ),
+                                    pk24,
+                                )
+
+                            return jax.lax.map(per_cand, pk)
 
                     nz_full = jax.lax.cond(
                         jnp.any(over), full_all, lambda pk: nz, packed
@@ -1324,27 +1388,43 @@ class SweepEngine:
             }
             return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
 
+        def init_cache(state, params):
+            if block or plain:
+                # no per-pixel cache: block recomputes the dense score
+                # matrix inside every step, plain re-scores all pixels
+                # per candidate anyway
+                return jnp.zeros((1,), jnp.float32), jnp.float32(0.0)
+            # fresh per-pixel cache each cycle (bounds drift)
+            packed0 = project_packed(state, idx)
+            pp0 = _pp_all(packed0, params)
+            return pp0, psum(jnp.sum(pp0))
+
+        def chunk_fn(state, params, ll_t, pp, nz, order, keys, flags):
+            """Advance a contiguous slice of the cycle's sweep steps.
+
+            order/keys/flags carry the slice; the per-pixel cache
+            (pp, nz) threads across calls so a cycle split into
+            bounded-wall-time device calls is bit-identical to the
+            single-call cycle (some TPU transports kill any single
+            execution past ~60 s — see SweepEngine(steps_per_call=)).
+            """
+            (state, params, ll_t, pp, nz), traces = jax.lax.scan(
+                sweep_step,
+                (state, params, ll_t, pp, nz),
+                (order, keys, flags),
+            )
+            return state, params, ll_t, pp, nz, traces
+
         def cycle_fn(state, params, ll_t, key, sample_param_on):
             k_perm, k_steps = jax.random.split(key)
             order = jax.random.permutation(
                 k_perm, self.n_frags
             ).astype(jnp.int32)
             keys = jax.random.split(k_steps, self.n_frags)
-            if block or plain:
-                # no per-pixel cache: block recomputes the dense score
-                # matrix inside every step, plain re-scores all pixels
-                # per candidate anyway
-                pp0 = jnp.zeros((1,), jnp.float32)
-                nz0 = jnp.float32(0.0)
-            else:
-                # fresh per-pixel cache each cycle (bounds drift)
-                packed0 = project_packed(state, idx)
-                pp0 = _pp_all(packed0, params)
-                nz0 = psum(jnp.sum(pp0))
-            (state, params, ll_t, _, _), traces = jax.lax.scan(
-                sweep_step,
-                (state, params, ll_t, pp0, nz0),
-                (order, keys, sample_param_on),
+            pp0, nz0 = init_cache(state, params)
+            state, params, ll_t, _, _, traces = chunk_fn(
+                state, params, ll_t, pp0, nz0, order, keys,
+                sample_param_on,
             )
             return state, params, ll_t, traces
 
@@ -1354,7 +1434,7 @@ class SweepEngine:
                 jnp.sum(_pp_all(packed, params))
             ) + zeros_packed_fast(packed, params, msf, n_pix)
 
-        return cycle_fn, initial_fn
+        return cycle_fn, initial_fn, chunk_fn, init_cache
 
     # ------------------------------------------------------------------
     def run_cycle(
@@ -1368,13 +1448,42 @@ class SweepEngine:
         """Run one full cycle (n_frags sweep steps) on device.
 
         Returns (state, params, ll, traces-dict of numpy arrays).
+
+        With steps_per_call set, the cycle runs as ceil(n_frags /
+        steps_per_call) bounded device calls; the PRNG derivation
+        matches the single-call path exactly (same key split, same
+        permutation), so the trajectory is bit-identical.
         """
         flags = np.full(self.n_frags, bool(sample_param))
-        state, params, ll, traces = self._run_cycle(
-            state, jax.tree.map(jnp.asarray, params), np.float32(ll_t),
-            key, flags,
+        spc = self.steps_per_call
+        if spc is None or spc >= self.n_frags:
+            state, params, ll, traces = self._run_cycle(
+                state, jax.tree.map(jnp.asarray, params),
+                np.float32(ll_t), key, flags,
+            )
+            traces = {k: np.asarray(v) for k, v in traces.items()}
+            return state, params, float(ll), traces
+
+        k_perm, k_steps = jax.random.split(key)
+        order = jax.random.permutation(k_perm, self.n_frags).astype(
+            jnp.int32
         )
-        traces = {k: np.asarray(v) for k, v in traces.items()}
+        keys = jax.random.split(k_steps, self.n_frags)
+        params = jax.tree.map(jnp.asarray, params)
+        pp, nz = self._init_cache(state, params)
+        ll = jnp.float32(ll_t)
+        chunks = []
+        for s in range(0, self.n_frags, spc):
+            e = min(s + spc, self.n_frags)
+            state, params, ll, pp, nz, tr = self._run_chunk(
+                state, params, ll, pp, nz,
+                order[s:e], keys[s:e], flags[s:e],
+            )
+            chunks.append(tr)
+        traces = {
+            k: np.concatenate([np.asarray(t[k]) for t in chunks])
+            for k in chunks[0]
+        }
         return state, params, float(ll), traces
 
     def initial_ll(self, state: FragState, params: RippeParams) -> float:

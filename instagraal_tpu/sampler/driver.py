@@ -59,6 +59,7 @@ class Scaffolder:
         slice_capacity=None,
         chains: int = 1,
         shard_nnz: bool = False,
+        steps_per_call: int | str | None = "auto",
     ):
         """slice_capacity: int, "auto", or None (nnz // 8 default) —
         forwarded to SweepEngine; see suggest_slice_capacity.
@@ -76,7 +77,13 @@ class Scaffolder:
         every cycle logs per-chain likelihoods and the final export
         takes the best chain (SURVEY.md §2.3 north star). When the
         JAX device count is divisible by `chains`, chains are sharded
-        across a device mesh; otherwise they run batched on one chip."""
+        across a device mesh; otherwise they run batched on one chip.
+
+        steps_per_call: "auto" (default) splits fine-level cycles into
+        device calls of <=1024 sweep steps — bit-identical results,
+        bounded per-call wall time (some TPU transports kill single
+        executions past ~60 s). An int overrides; None forces the
+        whole cycle into one call."""
         kw = {}
         if size_pyramid is not None:
             kw["size_pyramid"] = size_pyramid
@@ -102,6 +109,7 @@ class Scaffolder:
         self.sample_param = sample_param
         self.chains = int(chains)
         self.shard_nnz = bool(shard_nnz)
+        self.steps_per_call = steps_per_call
         if self.chains > 1 and engine != "scan":
             raise ValueError("chains > 1 requires the scan engine")
         if self.shard_nnz and self.chains > 1:
@@ -235,6 +243,7 @@ class Scaffolder:
                     n_neighbours=sampler.n_neighbours,
                     sample_param=self.sample_param,
                     slice_capacity=self.slice_capacity,
+                    steps_per_call=self.steps_per_call,
                     **kw,
                 )
         engine = self._sweep_engine
@@ -344,6 +353,7 @@ class Scaffolder:
                     n_neighbours=sampler.n_neighbours,
                     sample_param=self.sample_param,
                     slice_capacity=self.slice_capacity,
+                    steps_per_call=self.steps_per_call,
                 )
         engine = self._sweep_engine
         n_dev = len(jax.devices())
@@ -612,6 +622,7 @@ def run_instagraal(
     slice_capacity=None,
     chains: int = 1,
     shard_nnz: bool = False,
+    steps_per_call: int | str | None = "auto",
     profile=None,
 ) -> None:
     """Run the scaffolding pipeline (reference instagraal.py:502-638).
@@ -649,6 +660,7 @@ def run_instagraal(
         slice_capacity=slice_capacity,
         chains=chains,
         shard_nnz=shard_nnz,
+        steps_per_call=steps_per_call,
     )
     import contextlib
 

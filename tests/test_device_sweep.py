@@ -439,6 +439,45 @@ class TestScanScaffolder:
         assert abs(h - s) < 0.15 * gain, (h, s, gain)
 
 
+class TestStepsPerCall:
+    def test_chunked_cycle_bit_identical(self):
+        """A cycle split into bounded device calls (steps_per_call)
+        must reproduce the single-call cycle exactly: same PRNG
+        derivation, per-pixel cache threaded between calls."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        e_one = SweepEngine(ssim, backend="full", sample_param=True)
+        e_chunk = SweepEngine(
+            ssim, backend="full", sample_param=True, steps_per_call=7
+        )
+        ll0 = e_one.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(9)
+        s1, p1, ll1, tr1 = e_one.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=True
+        )
+        s2, p2, ll2, tr2 = e_chunk.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=True
+        )
+        assert ll1 == ll2
+        np.testing.assert_array_equal(tr1["id_fA"], tr2["id_fA"])
+        np.testing.assert_array_equal(tr1["op"], tr2["op"])
+        np.testing.assert_array_equal(
+            tr1["likelihood"], tr2["likelihood"]
+        )
+        for leaf1, leaf2 in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(
+                np.asarray(leaf1), np.asarray(leaf2)
+            )
+
+    def test_auto_chunking_thresholds(self):
+        from instagraal_tpu.testing import SyntheticSim
+
+        small = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        eng = SweepEngine(small, backend="plain")
+        assert eng.steps_per_call is None  # auto: small problems 1 call
+
+
 class TestCheckpoint:
     def test_save_load_roundtrip(self, sim, params, tmp_path):
         import numpy as np
