@@ -1502,6 +1502,13 @@ class MultiChainSweep:
     Scoring stays exact under the chain vmap: the engine's overflow
     fallback is a step-level cond over the whole candidate batch, which
     vmap lowers to a select between two exact scorings.
+
+    Chains run the engine's single-call cycle (steps_per_call chunking
+    is not composed with the chain vmap yet); on transports with a
+    per-execution wall-time watchdog, multi-chain is therefore bounded
+    to problems whose full cycle fits the budget — coarse/mid levels,
+    which is exactly where replicating the contact matrix per chain is
+    affordable anyway.
     """
 
     def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
