@@ -15,11 +15,23 @@ import click
 
 
 def check_device() -> str:
-    """Report the JAX backend/device that will run the scaffolder."""
-    import jax
+    """Report the JAX backend/device that will run the scaffolder.
 
-    dev = jax.devices()[0]
-    return f"{dev.platform}:{dev.device_kind}"
+    Never fatal: an unavailable accelerator backend is reported, not
+    raised — the scaffold subprocess does its own platform selection
+    (INSTAGRAAL_TPU_PLATFORM) and may pin CPU.
+    """
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        return f"{dev.platform}:{dev.device_kind}"
+    except Exception as e:  # backend init failure (e.g. tunnel down)
+        return f"unavailable ({type(e).__name__}; set " \
+               f"INSTAGRAAL_TPU_PLATFORM=cpu to pin the CPU backend)"
 
 
 def _run_endtoend(

@@ -213,16 +213,9 @@ def main(
     assembly the Hi-C data was mapped against.
     """
     set_level(quiet=quiet, debug=debug)
-    import os
+    from ..utils.platform import apply_platform_env
 
-    if os.environ.get("INSTAGRAAL_TPU_PLATFORM"):
-        # the axon PJRT plugin overrides JAX_PLATFORMS during
-        # registration; the config API is authoritative
-        import jax
-
-        jax.config.update(
-            "jax_platforms", os.environ["INSTAGRAAL_TPU_PLATFORM"]
-        )
+    apply_platform_env()
     from ..sampler import run_instagraal
 
     run_instagraal(

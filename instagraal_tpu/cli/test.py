@@ -45,6 +45,9 @@ from .endtoend import _run_endtoend
 )
 def main(output_dir, fasta, pairs, level, cycles, n_pairs):
     """Run a quick end-to-end smoke test of the whole pipeline."""
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     if output_dir is None:
         output_dir = pathlib.Path(tempfile.mkdtemp(prefix="instagraal_test_"))
     output_dir = pathlib.Path(output_dir)
