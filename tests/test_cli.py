@@ -177,11 +177,17 @@ class TestEndToEndCli:
                 "--circular",
                 "-e",
                 "DpnII,HinfI",
+                "--chains",
+                "4",
+                "--shard-nnz",
             ],
         )
         assert result.exit_code == 0
         assert "-l 3" in result.output
         assert "-n 7" in result.output
+        # multi-chip flags reach the scaffold subprocess
+        assert "--chains 4" in result.output
+        assert "--shard-nnz" in result.output
         assert "-N 4" in result.output
         assert "--bomb" in result.output
         assert "--circular" in result.output
