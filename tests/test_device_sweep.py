@@ -477,6 +477,25 @@ class TestStepsPerCall:
         eng = SweepEngine(small, backend="plain")
         assert eng.steps_per_call is None  # auto: small problems 1 call
 
+    def test_driver_chunked_end_to_end(self, toy_pre, tmp_path_factory):
+        """Scaffolder(steps_per_call=N) scaffolds through the chunked
+        cycle path and produces a trajectory matching the single-call
+        driver run exactly (same seed)."""
+        from instagraal_tpu.sampler import Scaffolder
+
+        lls = {}
+        for label, spc in (("one", None), ("chunked", 16)):
+            out = tmp_path_factory.mktemp(f"spc_{label}")
+            scaf = Scaffolder(
+                "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+                output_folder=out, seed=0, size_pyramid=4,
+                steps_per_call=spc,
+            )
+            scaf.full_em(n_cycles=2, bomb=True)
+            lls[label] = np.loadtxt(scaf.out / "list_likelihood.txt")
+            assert (scaf.out / "genome.fasta").exists()
+        np.testing.assert_array_equal(lls["one"], lls["chunked"])
+
 
 class TestCheckpoint:
     def test_save_load_roundtrip(self, sim, params, tmp_path):
