@@ -410,7 +410,8 @@ class SweepEngine:
         past a wall-time budget — the tunneled TPU used for
         development faults runs >~60 s, which a fine-level cycle
         (thousands of fragments x ~10 ms) exceeds. None = whole cycle
-        in one call. Not composable with shard_nnz yet.
+        in one call. Composes with shard_nnz (the cache shard stays
+        resident per device between calls).
 
         exact_overflow: when True (default), any candidate whose
         touched slice exceeds ``slice_capacity`` triggers one exact
@@ -483,21 +484,18 @@ class SweepEngine:
             # candidate at yeast L2 => ~2.5e8 pixel-steps per call);
             # the block backend is O((n_sub+1)^2) dense-grid bound
             # (~2e10 cell-steps per call). Negligible dispatch overhead
-            # either way. Chunking is not composed with shard_nnz yet,
-            # so the auto default degrades to single-call there.
+            # either way. Under shard_nnz the per-call pixel work is
+            # divided across the mesh, so the budget scales up with it.
             if backend == "block":
                 auto = int(2e10 / max((n_sub_total + 1) ** 2, 1))
             else:
-                auto = int(2.5e8 / max(nnz, 1))
+                per_dev_nnz = nnz
+                if shard_nnz:
+                    per_dev_nnz = -(-nnz // mesh.shape["shards"])
+                auto = int(2.5e8 / max(per_dev_nnz, 1))
             auto = max(64, min(1024, auto))
-            steps_per_call = (
-                auto if sim.n_frags > auto and not shard_nnz else None
-            )
+            steps_per_call = auto if sim.n_frags > auto else None
         self.steps_per_call = steps_per_call
-        if shard_nnz and steps_per_call is not None:
-            raise ValueError(
-                "steps_per_call is not composable with shard_nnz yet"
-            )
         if block_capacity == "auto":
             # dense rescore cost grows as block_capacity^2 while the
             # overflow fallback (one dense full pass) is cheap, so size
@@ -648,8 +646,43 @@ class SweepEngine:
                 )
 
             pspec = (P("shards"), P("shards"), P("shards"), P("shards"))
+            # per-pixel cache spec: sharded like the pixels, except the
+            # cacheless plain backend's [1] dummy (replicated)
+            pp_spec = P() if backend == "plain" else P("shards")
 
-            self._run_chunk = None  # chunking not composed with shard_nnz
+            def chunk_sharded(state, params, ll_t, pp, nz, order, keys,
+                              flags):
+                def inner(state, params, ll_t, pp, nz, order, keys,
+                          flags, r, c, dn, wm):
+                    return _kern(r, c, dn, wm)[2](
+                        state, params, ll_t, pp, nz, order, keys, flags
+                    )
+
+                return shard_map(
+                    inner,
+                    mesh=mesh,
+                    in_specs=(
+                        P(), P(), P(), pp_spec, P(), P(), P(), P()
+                    ) + pspec,
+                    out_specs=(P(), P(), P(), pp_spec, P(), P()),
+                    check_vma=False,
+                )(state, params, ll_t, pp, nz, order, keys, flags,
+                  rows_s, cols_s, dn_s, wm_s)
+
+            def init_cache_sharded(state, params):
+                def inner(state, params, r, c, dn, wm):
+                    return _kern(r, c, dn, wm)[3](state, params)
+
+                return shard_map(
+                    inner,
+                    mesh=mesh,
+                    in_specs=(P(), P()) + pspec,
+                    out_specs=(pp_spec, P()),
+                    check_vma=False,
+                )(state, params, rows_s, cols_s, dn_s, wm_s)
+
+            self._run_chunk = jax.jit(chunk_sharded)
+            self._init_cache = jax.jit(init_cache_sharded)
 
             def cycle_fn(state, params, ll_t, key, flags):
                 def inner(state, params, ll_t, key, flags, r, c, dn, wm):

@@ -754,6 +754,34 @@ class TestShardNnz:
         with pytest.raises(ValueError):
             self._engines("block")
 
+    def test_shard_nnz_chunked_matches_single_call(self):
+        """Chunked cycles compose with nnz sharding: the per-device
+        cache shard threads between bounded calls and the trajectory
+        matches the single-call sharded cycle exactly."""
+        ssim, _, e_one = self._engines("full")
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim2 = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        mesh = make_mesh(n_devices=8, chains=1)
+        e_chunk = SweepEngine(
+            ssim2, backend="full", sample_param=True, mesh=mesh,
+            shard_nnz=True, steps_per_call=7,
+        )
+        ll0 = e_one.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(4)
+        s1, p1, ll1, tr1 = e_one.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=True
+        )
+        s2, p2, ll2, tr2 = e_chunk.run_cycle(
+            ssim2.state, ssim2.params, ll0, key, sample_param=True
+        )
+        assert ll1 == ll2
+        np.testing.assert_array_equal(tr1["op"], tr2["op"])
+        np.testing.assert_array_equal(
+            tr1["likelihood"], tr2["likelihood"]
+        )
+
     def test_driver_shard_nnz_end_to_end(self, toy_pre, tmp_path_factory):
         """The CLI-reachable path: Scaffolder(shard_nnz=True) scaffolds
         with the contact matrix sharded over the 8-device CPU mesh."""
