@@ -44,7 +44,12 @@ def _log10_factorial_table() -> np.ndarray:
     return out
 
 
-_LOG10_FACT = jnp.asarray(_log10_factorial_table(), dtype=jnp.float32)
+# kept as a host numpy constant: a module-level jnp.asarray would
+# initialize the default JAX backend at import time (observed to hang
+# every CPU-only entry point for minutes when a TPU transport plugin is
+# registered but its endpoint is unreachable). jnp converts it at trace
+# time, where the platform choice has already been made.
+_LOG10_FACT = _log10_factorial_table().astype(np.float32)
 
 
 def poisson_norm(ob: np.ndarray) -> np.ndarray:
@@ -91,7 +96,9 @@ def log10_poisson(ex, ob):
     # small-count branch (0 < ob < 15)
     idx = jnp.clip(ob_f.astype(jnp.int32), 0, 14)
     small = (
-        ob_f * jnp.log10(jnp.maximum(ex, 1e-38)) - ex - _LOG10_FACT[idx]
+        ob_f * jnp.log10(jnp.maximum(ex, 1e-38))
+        - ex
+        - jnp.asarray(_LOG10_FACT)[idx]
     )
     res = jnp.where(big, stirling, jnp.where(ob_f > 0, small, -ex))
     return jnp.where(ex != 0.0, res, 0.0)

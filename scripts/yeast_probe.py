@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--cap", default=None)
     ap.add_argument("--block-cap", default="auto")
+    ap.add_argument("--block-tri", action="store_true")
     ap.add_argument("--no-nuisance", action="store_true")
     ap.add_argument("--bomb", action="store_true", default=True)
     ap.add_argument("--profile", default=None, help="xprof trace dir")
@@ -97,6 +98,7 @@ def main():
         block_capacity=(
             "auto" if args.block_cap == "auto" else int(args.block_cap)
         ),
+        block_tri=args.block_tri,
     )
     log(
         f"engine: backend={engine.backend} cap={engine.slice_capacity} "

@@ -187,6 +187,32 @@ class TestSweepEngine:
             tr_f["likelihood"], tr_b["likelihood"], rtol=1e-4, atol=0.5
         )
 
+    def test_block_tri_matches_block(self):
+        """The triangle-compacted block rescore (block_tri=True) scores
+        exactly the same cell set as the square masked grid — the COO
+        is strict-upper-triangular and member ids are sorted, so every
+        observed pixel sits at grid (p, q), p < q. Same move choices,
+        trajectories equal to f32 summation noise."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        eng_sq = SweepEngine(ssim, backend="block", sample_param=False)
+        eng_tri = SweepEngine(
+            ssim, backend="block", sample_param=False, block_tri=True
+        )
+        ll0 = eng_sq.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(1)
+        _, _, _, tr_s = eng_sq.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        _, _, _, tr_t = eng_tri.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=False
+        )
+        np.testing.assert_array_equal(tr_s["id_fA"], tr_t["id_fA"])
+        np.testing.assert_allclose(
+            tr_s["likelihood"], tr_t["likelihood"], rtol=1e-4, atol=0.5
+        )
+
     def test_block_tiny_capacity_exact_fallback(self):
         """An undersized block_capacity (member sub-fragments) must not
         change results: oversized pairs re-score through the dense
