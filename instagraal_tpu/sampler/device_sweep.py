@@ -382,6 +382,7 @@ class SweepEngine:
         exact_overflow: bool = True,
         wide_rows: bool = False,
         block_capacity: int | str = "auto",
+        block_tri: bool = False,
         shard_nnz: bool = False,
         steps_per_call: int | str | None = "auto",
     ):
@@ -433,7 +434,21 @@ class SweepEngine:
         block_capacity: max SUB-FRAGMENT count of a candidate pair's
         two contigs for the "block" backend (int, or "auto" = n_sub+1
         rounded to 128, capped at 640); larger pairs fall back to the
-        exact full-matrix pass."""
+        exact full-matrix pass.
+
+        block_tri: restrict the block backend's dense member-grid
+        rescore to the strict upper triangle. The COO is canonical
+        upper-triangular (pyramid/level.py triu k=1) and member ids
+        come out of ``jnp.nonzero`` sorted, so every observed pixel of
+        the pair's block lands at grid position (p, q) with p < q —
+        the lower triangle and diagonal of the [24, bcap, bcap]
+        pp grid are pure masked-out VPU waste. The triangle variant
+        gathers the bcap*(bcap-1)/2 upper cells through STATIC
+        `jnp.take` indices (no data-dependent gather) and halves the
+        transcendental work per candidate, at the cost of
+        materializing [24, T, PACK] gathered operands the square form
+        never builds (its broadcasts fuse). Which side wins is a
+        hardware question — measure end-to-end before enabling."""
         self.sim = sim
         self.mesh = mesh
         self.shard_nnz = bool(shard_nnz)
@@ -511,6 +526,7 @@ class SweepEngine:
                 )
             )
         self.block_capacity = int(block_capacity)
+        self.block_tri = bool(block_tri)
         n_dev = mesh.shape["shards"] if mesh is not None else 1
         if neighbour_k is None:
             # adaptive table width: wide enough that 95% of fragments
@@ -822,6 +838,16 @@ class SweepEngine:
         plain = backend == "plain"
         block = backend == "block"
         bcap = self.block_capacity
+        block_tri = self.block_tri
+        if block and block_tri:
+            # static strict-upper-triangle cell indices of the
+            # [bcap, bcap] member grid (see __init__ docstring)
+            _ti, _tj = np.triu_indices(bcap, k=1)
+            tri_i = jnp.asarray(_ti.astype(np.int32))
+            tri_j = jnp.asarray(_tj.astype(np.int32))
+            tri_flat = jnp.asarray(
+                (_ti.astype(np.int64) * bcap + _tj).astype(np.int32)
+            )
         ncp = self.n_frags + 1  # renumbered contig ids are < n_frags
 
         def gen_candidate(ctx, pair):
@@ -961,17 +987,36 @@ class SweepEngine:
             dnb = jnp.take(
                 jnp.take(dn_dense, ids, axis=0), ids, axis=1
             )  # [bcap, bcap, 2]
-            pp_grid = pp_rows_fast(
-                rows24[:, :, None, :],
-                rows24[:, None, :, :],
-                dnb[None],
-                params,
-                msf,
-            )  # [24, bcap, bcap]
-            nz_b = jnp.sum(
-                jnp.where(dnb[None, :, :, 0] > 0, pp_grid, 0.0),
-                axis=(1, 2),
-            )
+            if block_tri:
+                # score only the strict upper triangle of the member
+                # grid — the only cells an observed pixel can occupy
+                # (canonical triu COO + sorted member ids). Static
+                # flat take keeps the gathers vectorized.
+                dnt = jnp.take(
+                    dnb.reshape(bcap * bcap, 2), tri_flat, axis=0
+                )  # [T, 2]
+                pp_t = pp_rows_fast(
+                    jnp.take(rows24, tri_i, axis=1),
+                    jnp.take(rows24, tri_j, axis=1),
+                    dnt[None],
+                    params,
+                    msf,
+                )  # [24, T]
+                nz_b = jnp.sum(
+                    jnp.where(dnt[None, :, 0] > 0, pp_t, 0.0), axis=1
+                )
+            else:
+                pp_grid = pp_rows_fast(
+                    rows24[:, :, None, :],
+                    rows24[:, None, :, :],
+                    dnb[None],
+                    params,
+                    msf,
+                )  # [24, bcap, bcap]
+                nz_b = jnp.sum(
+                    jnp.where(dnb[None, :, :, 0] > 0, pp_grid, 0.0),
+                    axis=(1, 2),
+                )
             nz24 = ll_nz_cur - cur_slice + g_single + nz_b
             return nz24, n_mem
 
