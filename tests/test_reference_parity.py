@@ -131,6 +131,59 @@ class TestLeastsqboundParity:
 
 
 # ---------------------------------------------------------------------------
+# Exp ("broken power law") nuisance model (reference init_nuisance.py)
+# ---------------------------------------------------------------------------
+
+
+class TestExpModelParity:
+    """Our model/exp_model.py vs reference init_nuisance.py on shared
+    synthetic contact histograms (the reference path is CLI-unreachable
+    but part of the API surface — SURVEY.md §2.2)."""
+
+    def _histogram(self, seed=5):
+        rng = np.random.default_rng(seed)
+        x = np.geomspace(0.5, 300.0, 50)
+        d_init, a0, a1, A = 1.0, -3.0, -1.1, 40.0
+        val_lim = A * d_init ** (a0 - a1) * np.exp(-12.0 / (d_init**2 - 10.0))
+        y = np.where(
+            x < d_init,
+            A * np.power(x, a0) * np.exp(-12.0 / (np.square(x) - 10.0)),
+            val_lim * np.power(x, a1),
+        )
+        return y * np.exp(rng.normal(0, 0.03, x.shape)), x
+
+    def test_estimate_param_hic_matches(self, ref_instagraal):
+        import importlib
+
+        import matplotlib.pyplot as plt
+
+        from instagraal_tpu.model.exp_model import estimate_param_hic
+
+        ref_nuis = importlib.import_module("instagraal.init_nuisance")
+        y, x = self._histogram()
+        res_ours, y_est_ours = estimate_param_hic(y, x)
+        res_ref, y_est_ref = ref_nuis.estimate_param_hic(y, x)
+        plt.close("all")  # reference plots its fit unconditionally
+        # same two-stage fit (log leastsq then bounded L-BFGS-B) from
+        # the same inits on the same loss: parameters agree to fit
+        # tolerance and the predicted curves match
+        np.testing.assert_allclose(res_ours.x, res_ref.x, rtol=1e-4)
+        np.testing.assert_allclose(y_est_ours, y_est_ref, rtol=1e-4)
+
+    def test_exp_max_dist_intra_matches(self, ref_instagraal):
+        import importlib
+
+        from instagraal_tpu.model.exp_model import estimate_max_dist_intra
+
+        ref_nuis = importlib.import_module("instagraal.init_nuisance")
+        p = [1.0, -3.0, -1.1, 40.0]
+        v_inter = 0.02
+        ours = estimate_max_dist_intra(p, v_inter)
+        ref = ref_nuis.estimate_max_dist_intra(p, v_inter)
+        assert ours == pytest.approx(float(ref), rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # Pyramid construction
 # ---------------------------------------------------------------------------
 
