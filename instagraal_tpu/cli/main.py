@@ -162,10 +162,11 @@ from ..log import set_level
     is_flag=True,
     default=False,
     help=(
-        "Shard the contact matrix's pixel arrays across all devices "
-        "(per-chip HBM scales as nnz / n_devices; pixel reductions "
-        "merge through psum). For contact maps too large for one "
-        "chip. Mutually exclusive with --chains > 1."
+        "Shard the contact matrix's pixel arrays across the mesh's "
+        "shards axis (per-chip HBM scales as nnz / n_shards; pixel "
+        "reductions merge through psum). For contact maps too large "
+        "for one chip. Composes with --chains C: devices form a "
+        "(chains, shards) mesh."
     ),
 )
 @click.option(

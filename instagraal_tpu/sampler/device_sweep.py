@@ -88,6 +88,21 @@ _AGG_PRECISION = jax.lax.Precision[
 ]
 
 
+class ChainBatchedFns(NamedTuple):
+    """Jitted engine entry points batched over a leading chain axis.
+
+    cycle(state, params, ll, keys, flags): one full cycle per chain;
+    chunk(state, params, ll, pp, nz, order, keys, flags): a bounded
+    slice of each chain's sweep (per-pixel caches thread across calls);
+    init_cache(state, params): per-chain pixel-score caches.
+    Produced by SweepEngine.make_chain_batched.
+    """
+
+    cycle: object
+    chunk: object
+    init_cache: object
+
+
 class NeighbourTable(NamedTuple):
     """Top-K contact partners per fragment, with sampling logits."""
 
@@ -622,6 +637,27 @@ class SweepEngine:
             )
             self._run_chunk = jax.jit(chunk_fn)
             self._init_cache = jax.jit(init_cache)
+
+            def _batched_fns(n_chains):
+                # chains as a plain vmap axis: every chain's pixel
+                # arrays are the same replicated constants, so the
+                # chain batch composes directly with the cycle/chunk
+                # closures (the candidate shard_map does not — guarded
+                # in make_chain_batched)
+                return ChainBatchedFns(
+                    cycle=jax.jit(
+                        jax.vmap(cycle_fn, in_axes=(0, 0, 0, 0, None))
+                    ),
+                    chunk=jax.jit(
+                        jax.vmap(
+                            chunk_fn,
+                            in_axes=(0, 0, 0, 0, 0, 0, 0, None),
+                        )
+                    ),
+                    init_cache=jax.jit(jax.vmap(init_cache)),
+                )
+
+            self._make_batched_fns = _batched_fns
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -730,6 +766,85 @@ class SweepEngine:
             # handles for tests to verify real per-device pixel shards
             self._pix_sharded = (rows_s, cols_s, dn_s, wm_s)
             self._pix_spec = pspec[0]
+
+            def _batched_fns(n_chains):
+                # chains x pixel shards on one 2-D mesh: chain-batched
+                # state rides the "chains" axis, each chain's pixel
+                # reduction stays sharded along "shards" (psum inside
+                # the local-chain vmap names only "shards", so the two
+                # axes compose). Every device holds n_chains/|chains|
+                # chain states and 1/|shards| of the COO.
+                c_mesh = mesh.shape.get("chains", 1)
+                if n_chains % c_mesh:
+                    raise ValueError(
+                        f"{n_chains} chains not divisible by the mesh "
+                        f"chains axis ({c_mesh})"
+                    )
+                Pc = P("chains")
+                pp_b = (
+                    Pc if backend in ("plain", "block")
+                    else P("chains", "shards")
+                )
+
+                def cycle_b(state, params, ll, keys, flags):
+                    def inner(state, params, ll, keys, flags,
+                              r, c, dn, wm):
+                        f = _kern(r, c, dn, wm)[0]
+                        return jax.vmap(
+                            lambda s, p, l, k: f(s, p, l, k, flags)
+                        )(state, params, ll, keys)
+
+                    return shard_map(
+                        inner,
+                        mesh=mesh,
+                        in_specs=(Pc, Pc, Pc, Pc, P()) + pspec,
+                        out_specs=Pc,
+                        check_vma=False,
+                    )(state, params, ll, keys, flags,
+                      rows_s, cols_s, dn_s, wm_s)
+
+                def chunk_b(state, params, ll, pp, nz, order, keys,
+                            flags):
+                    def inner(state, params, ll, pp, nz, order, keys,
+                              flags, r, c, dn, wm):
+                        f = _kern(r, c, dn, wm)[2]
+                        return jax.vmap(
+                            lambda s, p, l, q, z, o, k: f(
+                                s, p, l, q, z, o, k, flags
+                            )
+                        )(state, params, ll, pp, nz, order, keys)
+
+                    return shard_map(
+                        inner,
+                        mesh=mesh,
+                        in_specs=(
+                            Pc, Pc, Pc, pp_b, Pc, Pc, Pc, P()
+                        ) + pspec,
+                        out_specs=(Pc, Pc, Pc, pp_b, Pc, Pc),
+                        check_vma=False,
+                    )(state, params, ll, pp, nz, order, keys, flags,
+                      rows_s, cols_s, dn_s, wm_s)
+
+                def init_b(state, params):
+                    def inner(state, params, r, c, dn, wm):
+                        f = _kern(r, c, dn, wm)[3]
+                        return jax.vmap(f)(state, params)
+
+                    return shard_map(
+                        inner,
+                        mesh=mesh,
+                        in_specs=(Pc, Pc) + pspec,
+                        out_specs=(pp_b, Pc),
+                        check_vma=False,
+                    )(state, params, rows_s, cols_s, dn_s, wm_s)
+
+                return ChainBatchedFns(
+                    cycle=jax.jit(cycle_b),
+                    chunk=jax.jit(chunk_b),
+                    init_cache=jax.jit(init_b),
+                )
+
+            self._make_batched_fns = _batched_fns
 
         self._cycle_fn = cycle_fn
         self._run_cycle = jax.jit(cycle_fn)
@@ -1567,38 +1682,77 @@ class SweepEngine:
     def initial_ll(self, state: FragState, params: RippeParams) -> float:
         return float(self._initial_ll(state, params))
 
+    def make_chain_batched(self, n_chains: int) -> ChainBatchedFns:
+        """Entry points batched over a leading chain axis (C chains).
+
+        Replicated engines (mesh=None) get a plain chain vmap;
+        shard_nnz engines get a ("chains", "shards") shard_map where
+        each device holds its chains-row's states and its shards-column
+        pixel slice — the composition BASELINE config #5 asks for.
+        Candidate-sharded engines (mesh without shard_nnz) cannot be
+        chain-batched: the candidate shard_map claims the whole mesh.
+        """
+        if self.mesh is not None and not self.shard_nnz:
+            raise ValueError(
+                "candidate-sharded engines do not compose with a chain "
+                "batch; build with mesh=None (replicated) or "
+                "shard_nnz=True (chains x pixel shards)"
+            )
+        key = int(n_chains)
+        cache = getattr(self, "_chain_fns_cache", None)
+        if cache is None:
+            cache = self._chain_fns_cache = {}
+        if key not in cache:
+            cache[key] = self._make_batched_fns(key)
+        return cache[key]
+
 
 class MultiChainSweep:
     """Independent chains, each running whole cycles on device.
 
-    vmaps the SweepEngine's cycle over a leading chain axis sharded
+    Batches the SweepEngine's cycle over a leading chain axis sharded
     across the mesh's "chains" dimension: C chains x n_frags sweep steps
     per device call, with no host synchronisation inside a cycle. This is
     the v5e-8 scaling path for wall-clock-to-solution: chains explore
     independently and the best final genome wins (SURVEY.md §2.3).
 
-    Scoring stays exact under the chain vmap: the engine's overflow
-    fallback is a step-level cond over the whole candidate batch, which
-    vmap lowers to a select between two exact scorings.
+    Two layouts, picked by how the engine was built:
 
-    Chains run the engine's single-call cycle (steps_per_call chunking
-    is not composed with the chain vmap yet); on transports with a
-    per-execution wall-time watchdog, multi-chain is therefore bounded
-    to problems whose full cycle fits the budget — coarse/mid levels,
-    which is exactly where replicating the contact matrix per chain is
-    affordable anyway.
+    - replicated (engine mesh=None): chains are a plain vmap axis, the
+      pixel arrays are shared constants; place the batch over a
+      ("chains",) mesh via the `mesh` argument.
+    - chains x pixel shards (engine shard_nnz=True over a 2-D
+      ("chains", "shards") mesh): each device holds its chains-row's
+      states and 1/|shards| of the COO; per-chain likelihood reductions
+      psum over "shards" only. HBM per chip scales as nnz/|shards| even
+      with many chains — BASELINE config #5's layout.
+
+    Scoring stays exact under the chain batch: the engine's overflow
+    fallback is a step-level cond over the whole candidate batch, which
+    lowers to a select between two exact scorings.
+
+    Cycles honor the engine's steps_per_call chunking in both layouts
+    (bit-identical PRNG derivation to the single-call path), so
+    multi-chain runs stay within per-execution wall-time budgets on
+    watchdog transports.
     """
 
     def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if engine.mesh is not None:
-            raise ValueError(
-                "MultiChainSweep vmaps the cycle over chains; build the "
-                "engine with mesh=None (candidate shard_map does not "
-                "compose with the chain vmap)"
-            )
         self.engine = engine
+        if engine.shard_nnz:
+            if mesh is not None and mesh is not engine.mesh:
+                raise ValueError(
+                    "shard_nnz engines carry their own (chains, shards) "
+                    "mesh; pass mesh=None or the engine's mesh"
+                )
+            mesh = engine.mesh
+            if "chains" not in mesh.shape:
+                raise ValueError(
+                    "shard_nnz multi-chain needs a mesh with a 'chains' "
+                    "axis (parallel.mesh.make_mesh(chains=C))"
+                )
         self.mesh = mesh
         self.n_chains = n_chains
         self._sharding = (
@@ -1607,9 +1761,25 @@ class MultiChainSweep:
         # every per-chain quantity (state, params, ll, key) is batched:
         # nuisance MH makes parameters diverge between chains after the
         # first sampled cycle
-        self._cycle_all = jax.jit(
-            jax.vmap(engine._cycle_fn, in_axes=(0, 0, 0, 0, None))
-        )
+        fns = engine.make_chain_batched(n_chains)
+        self._cycle_all = fns.cycle
+        self._chunk_all = fns.chunk
+        self._init_cache_all = fns.init_cache
+        # per-chain PRNG derivation identical to the single-call cycle:
+        # split into (permutation key, step keys) per chain
+        n = engine.n_frags
+
+        def _derive(chain_keys):
+            def one(k):
+                k_perm, k_steps = jax.random.split(k)
+                order = jax.random.permutation(k_perm, n).astype(
+                    jnp.int32
+                )
+                return order, jax.random.split(k_steps, n)
+
+            return jax.vmap(one)(chain_keys)
+
+        self._derive = jax.jit(_derive)
 
     def _put(self, tree):
         if self._sharding is not None:
@@ -1645,6 +1815,11 @@ class MultiChainSweep:
         """
         keys = jax.random.split(key, self.n_chains)
         flags = np.full(self.engine.n_frags, bool(sample_param))
+        spc = self.engine.steps_per_call
+        if spc is not None and spc < self.engine.n_frags:
+            return self._run_cycle_chunked(
+                states, params_all, lls, keys, flags, spc
+            )
         states, params_all, lls, traces = self._cycle_all(
             states,
             jax.tree.map(jnp.asarray, params_all),
@@ -1654,6 +1829,30 @@ class MultiChainSweep:
         )
         traces = {k: np.asarray(v) for k, v in traces.items()}
         return states, params_all, np.asarray(lls), traces
+
+    def _run_cycle_chunked(
+        self, states, params_all, lls, keys, flags, spc
+    ):
+        n = self.engine.n_frags
+        orders, step_keys = self._derive(keys)
+        params_all = jax.tree.map(jnp.asarray, params_all)
+        pp, nz = self._init_cache_all(states, params_all)
+        ll = jnp.asarray(lls, dtype=jnp.float32)
+        chunks = []
+        for s in range(0, n, spc):
+            e = min(s + spc, n)
+            states, params_all, ll, pp, nz, tr = self._chunk_all(
+                states, params_all, ll, pp, nz,
+                orders[:, s:e], step_keys[:, s:e], flags[s:e],
+            )
+            chunks.append(tr)
+        traces = {
+            k: np.concatenate(
+                [np.asarray(t[k]) for t in chunks], axis=1
+            )
+            for k in chunks[0]
+        }
+        return states, params_all, np.asarray(ll), traces
 
     def best(self, states, lls):
         c = int(np.argmax(lls))

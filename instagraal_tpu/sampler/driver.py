@@ -65,11 +65,12 @@ class Scaffolder:
         forwarded to SweepEngine; see suggest_slice_capacity.
 
         shard_nnz: shard the contact matrix's COO pixel arrays across
-        all available devices (scan engine): per-chip HBM scales as
-        nnz / n_devices and every pixel reduction merges through psum
+        the mesh's "shards" axis (scan engine): per-chip HBM scales as
+        nnz / n_shards and every pixel reduction merges through psum
         — the layout for genomes whose fine-level contact maps exceed
-        one chip (SURVEY.md §5.8). Mutually exclusive with chains > 1
-        (pick replication axis: chains or pixels).
+        one chip (SURVEY.md §5.8). Composes with chains > 1: devices
+        form a (chains, shards) mesh where each chains-row holds one
+        chain and each shards-column one pixel slice.
 
         chains: number of independent MCMC chains run data-parallel on
         device (scan engine only). Chains share the initial genome but
@@ -112,11 +113,6 @@ class Scaffolder:
         self.steps_per_call = steps_per_call
         if self.chains > 1 and engine != "scan":
             raise ValueError("chains > 1 requires the scan engine")
-        if self.shard_nnz and self.chains > 1:
-            raise ValueError(
-                "chains > 1 and shard_nnz are mutually exclusive: "
-                "chains replicate the contact matrix per chain"
-            )
         if self.shard_nnz and engine != "scan":
             raise ValueError("shard_nnz requires the scan engine")
         self.collect: dict[str, list] = {k: [] for k in self.TRACE_NAMES}
@@ -346,6 +342,27 @@ class Scaffolder:
         sampler = self.sampler
         C = self.chains
         ckpt_path = self.out / ckpt.CHECKPOINT_NAME
+        n_dev = len(jax.devices())
+        mesh = None
+        engine_kw = {}
+        if n_dev > 1 and n_dev % C == 0:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(chains=C)
+            if self.shard_nnz:
+                # chains x pixel shards on one 2-D mesh: each
+                # chains-row holds one chain, each shards-column one
+                # COO slice (BASELINE config #5 layout)
+                engine_kw = {"mesh": mesh, "shard_nnz": True}
+            logger.info(
+                "chains sharded over mesh %s%s", dict(mesh.shape),
+                " (nnz sharded)" if self.shard_nnz else "",
+            )
+        elif self.shard_nnz:
+            logger.warning(
+                "shard_nnz requested but %d devices do not split "
+                "across %d chains; contact matrix replicated", n_dev, C
+            )
         if self._sweep_engine is None:
             with self.timer.phase("engine_build"):
                 self._sweep_engine = SweepEngine(
@@ -354,18 +371,14 @@ class Scaffolder:
                     sample_param=self.sample_param,
                     slice_capacity=self.slice_capacity,
                     steps_per_call=self.steps_per_call,
+                    **engine_kw,
                 )
         engine = self._sweep_engine
-        n_dev = len(jax.devices())
-        mesh = None
-        if n_dev > 1 and n_dev % C == 0:
-            from ..parallel.mesh import make_mesh
-
-            mesh = make_mesh(chains=C)
-            logger.info(
-                "chains sharded over mesh %s", dict(mesh.shape)
-            )
-        ms = MultiChainSweep(engine, mesh=mesh, n_chains=C)
+        ms = MultiChainSweep(
+            engine,
+            mesh=None if engine.shard_nnz else mesh,
+            n_chains=C,
+        )
 
         start_cycle = 0
         collect_chains = None

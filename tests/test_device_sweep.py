@@ -808,6 +808,134 @@ class TestShardNnz:
             tr1["likelihood"], tr2["likelihood"]
         )
 
+class TestChainsShardNnz:
+    """chains x pixel shards on one 2-D mesh (BASELINE config #5):
+    every device holds its chains-row's chain state and its
+    shards-column COO slice; per-chain reductions psum over "shards"
+    only, so the two mesh axes compose."""
+
+    def _setup(self, **kw):
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        mesh = make_mesh(n_devices=8, chains=2)  # (2 chains, 4 shards)
+        e_shard = SweepEngine(
+            ssim, backend="full", sample_param=True, mesh=mesh,
+            shard_nnz=True, **kw,
+        )
+        ms = MultiChainSweep(e_shard, n_chains=2)
+        return ssim, e_shard, ms
+
+    def test_composed_matches_replicated_chains(self):
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        ssim, e_shard, ms_s = self._setup()
+        e_rep = SweepEngine(ssim, backend="full", sample_param=True)
+        ms_r = MultiChainSweep(e_rep, n_chains=2)
+        ll0 = e_rep.initial_ll(ssim.state, ssim.params)
+        lls = np.full(2, ll0)
+        key = jax.random.PRNGKey(0)
+        st_s = ms_s.broadcast_state(ssim.state)
+        pa_s = ms_s.broadcast_params(ssim.params)
+        st_r = ms_r.broadcast_state(ssim.state)
+        pa_r = ms_r.broadcast_params(ssim.params)
+        _, _, ll_s, tr_s = ms_s.run_cycle(st_s, pa_s, lls, key)
+        _, _, ll_r, tr_r = ms_r.run_cycle(st_r, pa_r, lls, key)
+        # psum reassociation flips only near-tie argmax choices; on a
+        # 40-frag toy the ties are dense, so the op-agreement bar sits
+        # slightly below the single-chain shard_nnz test's 0.9
+        np.testing.assert_array_equal(tr_s["id_fA"], tr_r["id_fA"])
+        same_op = np.mean(tr_s["op"] == tr_r["op"])
+        assert same_op > 0.85, f"only {same_op:.0%} of moves match"
+        np.testing.assert_allclose(
+            tr_s["likelihood"], tr_r["likelihood"], rtol=1e-3, atol=5.0
+        )
+        np.testing.assert_allclose(ll_s, ll_r, rtol=1e-2)
+
+    def test_pixel_shards_distinct_with_chains(self):
+        _, e_shard, _ = self._setup()
+        rows_s = e_shard._pix_sharded[0]
+        shards = rows_s.addressable_shards
+        assert len({s.device for s in shards}) == 8
+        # the shards axis has 4 slices; each is replicated across the
+        # 2 chains rows, so exactly 4 distinct pixel slices exist
+        datas = [tuple(np.asarray(s.data)) for s in shards]
+        assert len(set(datas)) == 4
+
+    def test_chunked_multi_chain_matches_single_call(self):
+        """steps_per_call chunking composes with the chain batch in
+        BOTH layouts: per-chain caches thread across bounded calls and
+        the trajectory equals the single-call batched cycle exactly."""
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+        from instagraal_tpu.testing import SyntheticSim
+
+        # sharded layout
+        ssim, _, ms_one = self._setup()
+        _, _, ms_chunk = self._setup(steps_per_call=7)
+        ll0 = ms_one.engine.initial_ll(ssim.state, ssim.params)
+        lls = np.full(2, ll0)
+        key = jax.random.PRNGKey(5)
+        st, pa = (
+            ms_one.broadcast_state(ssim.state),
+            ms_one.broadcast_params(ssim.params),
+        )
+        _, _, ll1, tr1 = ms_one.run_cycle(st, pa, lls, key)
+        st, pa = (
+            ms_chunk.broadcast_state(ssim.state),
+            ms_chunk.broadcast_params(ssim.params),
+        )
+        _, _, ll2, tr2 = ms_chunk.run_cycle(st, pa, lls, key)
+        np.testing.assert_array_equal(ll1, ll2)
+        np.testing.assert_array_equal(tr1["op"], tr2["op"])
+        np.testing.assert_array_equal(
+            tr1["likelihood"], tr2["likelihood"]
+        )
+        # replicated layout
+        ssim2 = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        e_one = SweepEngine(ssim2, backend="full", sample_param=True)
+        e_chk = SweepEngine(
+            ssim2, backend="full", sample_param=True, steps_per_call=7
+        )
+        m_one = MultiChainSweep(e_one, n_chains=2)
+        m_chk = MultiChainSweep(e_chk, n_chains=2)
+        st, pa = (
+            m_one.broadcast_state(ssim2.state),
+            m_one.broadcast_params(ssim2.params),
+        )
+        _, _, ll3, tr3 = m_one.run_cycle(st, pa, lls, key)
+        _, _, ll4, tr4 = m_chk.run_cycle(st, pa, lls, key)
+        np.testing.assert_array_equal(ll3, ll4)
+        np.testing.assert_array_equal(tr3["op"], tr4["op"])
+        np.testing.assert_array_equal(
+            tr3["likelihood"], tr4["likelihood"]
+        )
+
+    def test_driver_chains_shard_nnz_end_to_end(
+        self, toy_pre, tmp_path_factory
+    ):
+        """CLI-reachable composed path: Scaffolder(chains=2,
+        shard_nnz=True) scaffolds on the (2, 4) CPU mesh."""
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("chains_shard_e2e")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=0, size_pyramid=4,
+            chains=2, shard_nnz=True,
+        )
+        n_frags = scaf.sampler.n_frags
+        scaf.full_em(n_cycles=2, bomb=True)
+        assert scaf._sweep_engine.shard_nnz
+        assert scaf._sweep_engine.mesh.shape == {"chains": 2, "shards": 4}
+        assert (scaf.out / "genome.fasta").exists()
+        lls = np.loadtxt(scaf.out / "list_likelihood.txt")
+        assert len(lls) == 2 * n_frags
+        assert lls[-1] > lls[0]
+
+
+class TestShardNnzDriver:
     def test_driver_shard_nnz_end_to_end(self, toy_pre, tmp_path_factory):
         """The CLI-reachable path: Scaffolder(shard_nnz=True) scaffolds
         with the contact matrix sharded over the 8-device CPU mesh."""
