@@ -62,7 +62,11 @@ def _read_contig_info(path) -> pd.DataFrame:
 
 
 def _read_frag_list(path) -> pd.DataFrame:
-    return pd.read_csv(path, sep="\t")
+    # round_trip: pandas' default float parser (xstrtod) can land one
+    # ulp away from Python float(); the reference parses gc_content
+    # with float(), and merged-gc byte-parity depends on reading the
+    # exact same doubles back
+    return pd.read_csv(path, sep="\t", float_precision="round_trip")
 
 
 def _read_contacts(path) -> pd.DataFrame:
@@ -96,7 +100,9 @@ def init_frag_list(fragments_list, new_frag_list) -> int:
 
     Mirrors reference pyramid_sparse.py:399-465; returns the fragment count.
     """
-    df = pd.read_csv(fragments_list, sep="\t")
+    df = pd.read_csv(
+        fragments_list, sep="\t", float_precision="round_trip"
+    )
     out = pd.DataFrame(
         {
             "id": df["id"],
@@ -261,10 +267,16 @@ def remove_problematic_fragments(
         same_contig_prev, prev_kept + 1, contig_start_of[kept_idx]
     )
 
-    csum_gc = np.r_[0.0, np.cumsum(gc)]
     csum_accu = np.r_[0, np.cumsum(accu)]
     n_members = kept_idx - group_start + 1
-    g_gc = (csum_gc[kept_idx + 1] - csum_gc[group_start]) / n_members
+    # merged gc = plain mean over the group's members, computed per
+    # group (not via a global cumsum, whose subtraction rounds one ulp
+    # away from np.mean and breaks byte-parity with the reference
+    # filter output, pyramid_sparse.py:944). Singleton groups — the
+    # vast majority — copy through exactly; only merged groups loop.
+    g_gc = gc[kept_idx].astype(np.float64, copy=True)
+    for i in np.flatnonzero(n_members > 1):
+        g_gc[i] = gc[group_start[i]: kept_idx[i] + 1].mean()
     g_accu = csum_accu[kept_idx + 1] - csum_accu[group_start]
     g_start = start_pos[group_start]
     g_end = end_pos[kept_idx]

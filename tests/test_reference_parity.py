@@ -338,6 +338,81 @@ class TestPyramidParity:
                     )
 
 
+class TestFilteredPyramidParity:
+    """build_and_filter (the production path): the sparsity filter +
+    neighbor-merge of dropped fragments must produce the same filtered
+    level-0 tables as the reference remove_problematic_fragments
+    (reference pyramid_sparse.py:731-1029)."""
+
+    @pytest.fixture(scope="class")
+    def filtered(self, ref_instagraal, toy_pre, tmp_path_factory):
+        import os
+
+        from instagraal_tpu.pyramid.build import (
+            build_and_filter as our_baf,
+        )
+
+        ref_out = tmp_path_factory.mktemp("ref_filt")
+        our_out = tmp_path_factory.mktemp("our_filt")
+        # the reference filter scatters sparsity_plot.pdf into the CWD
+        cwd = os.getcwd()
+        os.chdir(ref_out)
+        try:
+            ref_instagraal["pyr"].build_and_filter(
+                str(toy_pre["dir"]), 3, 3, thresh_factor=1,
+                output_folder=str(ref_out),
+            )
+        finally:
+            os.chdir(cwd)
+        our_baf(
+            toy_pre["dir"], 3, 3, thresh_factor=1, output_folder=our_out
+        )
+        name = "pyramid_3_thresh_auto"
+        return {
+            "ref": ref_out / "pyramids" / name / "level_0",
+            "ours": our_out / "pyramids" / name / "level_0",
+        }
+
+    @pytest.mark.parametrize(
+        "fname", ["0_contig_info.txt", "0_abs_frag_contacts.txt"]
+    )
+    def test_filtered_level0_files_identical(self, filtered, fname):
+        ref = (filtered["ref"] / fname).read_text()
+        ours = (filtered["ours"] / fname).read_text()
+        assert ours == ref
+
+    def test_filtered_fragment_table_matches_modulo_accu_leak(
+        self, filtered
+    ):
+        """Byte-identical except for a documented reference bug: the
+        cleaning loop resets gc/size/positions when a new contig starts
+        (pyramid_sparse.py:880-892) but NOT tmp_cumul["accu_frag"], so
+        accu from a previous contig's trailing destroyed fragments
+        leaks into the next contig's first kept fragment. We reset it;
+        every leak therefore shows as ref_accu > our_accu on a
+        first-of-contig row, with all other columns identical."""
+        ref = pd.read_csv(
+            filtered["ref"] / "0_fragments_list.txt", sep="\t"
+        )
+        ours = pd.read_csv(
+            filtered["ours"] / "0_fragments_list.txt", sep="\t"
+        )
+        for col in ref.columns:
+            if col == "accu_frag":
+                continue
+            pd.testing.assert_series_equal(ours[col], ref[col])
+        leak = ref["accu_frag"] != ours["accu_frag"]
+        assert leak.any(), (
+            "expected at least one accu-leak row on this dataset "
+            "(trailing destroyed fragments exist)"
+        )
+        assert (ref.loc[leak, "id"] == 1).all()
+        assert (
+            ref.loc[leak, "accu_frag"] > ours.loc[leak, "accu_frag"]
+        ).all()
+        assert (ours.loc[leak, "accu_frag"] >= 1).all()
+
+
 def _subtract(coo: pd.DataFrame, minus: pd.DataFrame) -> pd.DataFrame:
     """coo - minus on (fa, fb), dropping pixels that reach 0."""
     if len(minus) == 0:
