@@ -934,6 +934,37 @@ class TestChainsShardNnz:
         assert len(lls) == 2 * n_frags
         assert lls[-1] > lls[0]
 
+    def test_driver_chains_shard_nnz_resume(
+        self, toy_pre, tmp_path_factory
+    ):
+        """Multi-chain checkpoints restore onto the composed (2, 4)
+        mesh: the resumed chain states are re-placed with the chains
+        sharding and the second cycle runs nnz-sharded."""
+        from instagraal_tpu.sampler import Scaffolder
+        from instagraal_tpu.sampler import checkpoint as ckpt
+
+        out = tmp_path_factory.mktemp("chains_shard_resume")
+        kw = dict(
+            level=2, output_folder=out, seed=0, size_pyramid=4,
+            chains=2, shard_nnz=True,
+        )
+        scaf = Scaffolder("toy", toy_pre["dir"], toy_pre["fasta"], **kw)
+        scaf.full_em(n_cycles=1, bomb=True)
+        payload = ckpt.load_checkpoint(scaf.out / ckpt.CHECKPOINT_NAME)
+        assert payload["version"] == ckpt.MULTI_FORMAT_VERSION
+        assert payload["cycle"] == 1
+
+        scaf2 = Scaffolder("toy", toy_pre["dir"], toy_pre["fasta"], **kw)
+        scaf2.full_em(n_cycles=2, bomb=True, resume=True)
+        assert scaf2._sweep_engine.shard_nnz
+        n_frags = scaf2.sampler.n_frags
+        lls = np.loadtxt(scaf2.out / "list_likelihood.txt")
+        assert lls.shape[0] == 2 * n_frags
+        chain_lls = np.loadtxt(
+            scaf2.out / "list_chain_likelihoods.txt", skiprows=1
+        ).reshape(-1, 3)
+        assert np.isfinite(chain_lls[:, 1]).all()
+
 
 class TestShardNnzDriver:
     def test_driver_shard_nnz_end_to_end(self, toy_pre, tmp_path_factory):
