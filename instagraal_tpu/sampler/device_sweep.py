@@ -658,6 +658,11 @@ class SweepEngine:
                 )
 
             self._make_batched_fns = _batched_fns
+            # raw closures for mesh-placed chain batching
+            # (MultiChainSweep wraps them in an explicit shard_map —
+            # leaving the chain axis to GSPMD auto-partitioning was
+            # measured 100x slower than single-chain on a CPU mesh)
+            self._fns_unjit = (cycle_fn, chunk_fn, init_cache)
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -780,19 +785,35 @@ class SweepEngine:
                         f"{n_chains} chains not divisible by the mesh "
                         f"chains axis ({c_mesh})"
                     )
+                local = n_chains // c_mesh
                 Pc = P("chains")
                 pp_b = (
                     Pc if backend in ("plain", "block")
                     else P("chains", "shards")
                 )
 
+                def _per_chain(fn, batched, shared):
+                    # local == 1 (one chain per chains-row, the common
+                    # layout) skips the vmap and runs the exact
+                    # single-chain graph on each device
+                    if local == 1:
+                        one = [
+                            jax.tree.map(lambda x: x[0], b)
+                            for b in batched
+                        ]
+                        out = fn(*one, *shared)
+                        return jax.tree.map(
+                            lambda x: jnp.expand_dims(x, 0), out
+                        )
+                    return jax.vmap(lambda *b: fn(*b, *shared))(*batched)
+
                 def cycle_b(state, params, ll, keys, flags):
                     def inner(state, params, ll, keys, flags,
                               r, c, dn, wm):
                         f = _kern(r, c, dn, wm)[0]
-                        return jax.vmap(
-                            lambda s, p, l, k: f(s, p, l, k, flags)
-                        )(state, params, ll, keys)
+                        return _per_chain(
+                            f, (state, params, ll, keys), (flags,)
+                        )
 
                     return shard_map(
                         inner,
@@ -808,11 +829,11 @@ class SweepEngine:
                     def inner(state, params, ll, pp, nz, order, keys,
                               flags, r, c, dn, wm):
                         f = _kern(r, c, dn, wm)[2]
-                        return jax.vmap(
-                            lambda s, p, l, q, z, o, k: f(
-                                s, p, l, q, z, o, k, flags
-                            )
-                        )(state, params, ll, pp, nz, order, keys)
+                        return _per_chain(
+                            f,
+                            (state, params, ll, pp, nz, order, keys),
+                            (flags,),
+                        )
 
                     return shard_map(
                         inner,
@@ -828,7 +849,7 @@ class SweepEngine:
                 def init_b(state, params):
                     def inner(state, params, r, c, dn, wm):
                         f = _kern(r, c, dn, wm)[3]
-                        return jax.vmap(f)(state, params)
+                        return _per_chain(f, (state, params), ())
 
                     return shard_map(
                         inner,
@@ -1761,7 +1782,17 @@ class MultiChainSweep:
         # every per-chain quantity (state, params, ll, key) is batched:
         # nuisance MH makes parameters diverge between chains after the
         # first sampled cycle
-        fns = engine.make_chain_batched(n_chains)
+        if mesh is not None and not engine.shard_nnz:
+            # replicated engine on a mesh: place each chain on its
+            # chains-row with an explicit shard_map (collective-free —
+            # the pixel arrays are closure constants replicated
+            # everywhere). Leaving the batch to vmap + GSPMD
+            # auto-partitioning was measured ~6x (vmap, one device)
+            # to ~100x (GSPMD over the mesh) slower per chain than the
+            # single-chain cycle on a virtual CPU mesh.
+            fns = self._shard_mapped_fns(engine, mesh, n_chains)
+        else:
+            fns = engine.make_chain_batched(n_chains)
         self._cycle_all = fns.cycle
         self._chunk_all = fns.chunk
         self._init_cache_all = fns.init_cache
@@ -1780,6 +1811,89 @@ class MultiChainSweep:
             return jax.vmap(one)(chain_keys)
 
         self._derive = jax.jit(_derive)
+
+    @staticmethod
+    def _shard_mapped_fns(engine, mesh, n_chains):
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        if engine.mesh is not None:
+            raise ValueError(
+                "candidate-sharded engines do not compose with a chain "
+                "batch; build with mesh=None"
+            )
+        c_mesh = mesh.shape.get("chains", 1)
+        if n_chains % c_mesh:
+            raise ValueError(
+                f"{n_chains} chains not divisible by the mesh chains "
+                f"axis ({c_mesh})"
+            )
+        local = n_chains // c_mesh
+        cyc, chk, ini = engine._fns_unjit
+        Pc = P("chains")
+
+        def _per_chain(fn, batched, shared):
+            """Apply fn over the local chain slice of `batched` leaves
+            (shared args broadcast). local == 1 skips the vmap: the
+            common one-chain-per-row layout then runs the exact
+            single-chain graph on each device."""
+            if local == 1:
+                one = [jax.tree.map(lambda x: x[0], b) for b in batched]
+                out = fn(*one, *shared)
+                return jax.tree.map(lambda x: jnp.expand_dims(x, 0), out)
+            return jax.vmap(lambda *b: fn(*b, *shared))(*batched)
+
+        def cycle_b(state, params, ll, keys, flags):
+            def inner(state, params, ll, keys, flags):
+                return _per_chain(
+                    cyc, (state, params, ll, keys), (flags,)
+                )
+
+            return shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(Pc, Pc, Pc, Pc, P()),
+                out_specs=Pc,
+                check_vma=False,
+            )(state, params, ll, keys, flags)
+
+        def chunk_b(state, params, ll, pp, nz, order, keys, flags):
+            def inner(state, params, ll, pp, nz, order, keys, flags):
+                return _per_chain(
+                    chk,
+                    (state, params, ll, pp, nz, order, keys),
+                    (flags,),
+                )
+
+            return shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(Pc,) * 7 + (P(),),
+                out_specs=(Pc,) * 6,
+                check_vma=False,
+            )(state, params, ll, pp, nz, order, keys, flags)
+
+        def init_b(state, params):
+            def inner(state, params):
+                return _per_chain(ini, (state, params), ())
+
+            return shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(Pc, Pc),
+                out_specs=Pc,
+                check_vma=False,
+            )(state, params)
+
+        return ChainBatchedFns(
+            cycle=jax.jit(cycle_b),
+            chunk=jax.jit(chunk_b),
+            init_cache=jax.jit(init_b),
+        )
 
     def _put(self, tree):
         if self._sharding is not None:

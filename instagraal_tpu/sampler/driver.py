@@ -348,12 +348,17 @@ class Scaffolder:
         if n_dev > 1 and n_dev % C == 0:
             from ..parallel.mesh import make_mesh
 
-            mesh = make_mesh(chains=C)
             if self.shard_nnz:
                 # chains x pixel shards on one 2-D mesh: each
                 # chains-row holds one chain, each shards-column one
                 # COO slice (BASELINE config #5 layout)
+                mesh = make_mesh(chains=C)
                 engine_kw = {"mesh": mesh, "shard_nnz": True}
+            else:
+                # replicated chains: one chain per device on a (C, 1)
+                # mesh — a (C, n/C) mesh would re-run each chain
+                # redundantly on every shards-column device
+                mesh = make_mesh(n_devices=C, chains=C)
             logger.info(
                 "chains sharded over mesh %s%s", dict(mesh.shape),
                 " (nnz sharded)" if self.shard_nnz else "",
