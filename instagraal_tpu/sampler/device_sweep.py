@@ -103,6 +103,93 @@ class ChainBatchedFns(NamedTuple):
     init_cache: object
 
 
+def _chain_batched_shard_map(
+    mesh, n_chains, get_fns, operands, operand_specs, pp_spec
+):
+    """Build ChainBatchedFns by shard_mapping chain-batched wrappers.
+
+    get_fns(*local_operands) -> the (cycle, initial, chunk, init_cache)
+    tuple of _make_cycle; operands are extra shard_map inputs (the
+    sharded pixel arrays in the shard_nnz layout, empty when the pixel
+    arrays are replicated closure constants). One chains-row holds
+    n_chains/|chains| chain states; when that local count is 1 (the
+    standard layout) the vmap is skipped so each device runs the exact
+    single-chain graph. pp_spec is the per-pixel cache's spec
+    (P("chains", "shards") when the cache is pixel-sharded,
+    P("chains") for replicated or dummy caches).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    c_mesh = mesh.shape.get("chains", 1)
+    if n_chains % c_mesh:
+        raise ValueError(
+            f"{n_chains} chains not divisible by the mesh chains "
+            f"axis ({c_mesh})"
+        )
+    local = n_chains // c_mesh
+    Pc = P("chains")
+
+    def _per_chain(fn, batched, shared):
+        if local == 1:
+            one = [jax.tree.map(lambda x: x[0], b) for b in batched]
+            out = fn(*one, *shared)
+            return jax.tree.map(lambda x: jnp.expand_dims(x, 0), out)
+        return jax.vmap(lambda *b: fn(*b, *shared))(*batched)
+
+    def cycle_b(state, params, ll, keys, flags):
+        def inner(state, params, ll, keys, flags, *ops):
+            f = get_fns(*ops)[0]
+            return _per_chain(f, (state, params, ll, keys), (flags,))
+
+        return shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(Pc, Pc, Pc, Pc, P()) + operand_specs,
+            out_specs=Pc,
+            check_vma=False,
+        )(state, params, ll, keys, flags, *operands)
+
+    def chunk_b(state, params, ll, pp, nz, order, keys, flags):
+        def inner(state, params, ll, pp, nz, order, keys, flags, *ops):
+            f = get_fns(*ops)[2]
+            return _per_chain(
+                f, (state, params, ll, pp, nz, order, keys), (flags,)
+            )
+
+        return shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(Pc, Pc, Pc, pp_spec, Pc, Pc, Pc, P())
+            + operand_specs,
+            out_specs=(Pc, Pc, Pc, pp_spec, Pc, Pc),
+            check_vma=False,
+        )(state, params, ll, pp, nz, order, keys, flags, *operands)
+
+    def init_b(state, params):
+        def inner(state, params, *ops):
+            f = get_fns(*ops)[3]
+            return _per_chain(f, (state, params), ())
+
+        return shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(Pc, Pc) + operand_specs,
+            out_specs=(pp_spec, Pc),
+            check_vma=False,
+        )(state, params, *operands)
+
+    return ChainBatchedFns(
+        cycle=jax.jit(cycle_b),
+        chunk=jax.jit(chunk_b),
+        init_cache=jax.jit(init_b),
+    )
+
+
 class NeighbourTable(NamedTuple):
     """Top-K contact partners per fragment, with sampling logits."""
 
@@ -776,93 +863,17 @@ class SweepEngine:
                 # chains x pixel shards on one 2-D mesh: chain-batched
                 # state rides the "chains" axis, each chain's pixel
                 # reduction stays sharded along "shards" (psum inside
-                # the local-chain vmap names only "shards", so the two
-                # axes compose). Every device holds n_chains/|chains|
-                # chain states and 1/|shards| of the COO.
-                c_mesh = mesh.shape.get("chains", 1)
-                if n_chains % c_mesh:
-                    raise ValueError(
-                        f"{n_chains} chains not divisible by the mesh "
-                        f"chains axis ({c_mesh})"
-                    )
-                local = n_chains // c_mesh
-                Pc = P("chains")
+                # the local-chain batch names only "shards", so the
+                # two axes compose). Every device holds
+                # n_chains/|chains| chain states and 1/|shards| of
+                # the COO.
                 pp_b = (
-                    Pc if backend in ("plain", "block")
+                    P("chains") if backend in ("plain", "block")
                     else P("chains", "shards")
                 )
-
-                def _per_chain(fn, batched, shared):
-                    # local == 1 (one chain per chains-row, the common
-                    # layout) skips the vmap and runs the exact
-                    # single-chain graph on each device
-                    if local == 1:
-                        one = [
-                            jax.tree.map(lambda x: x[0], b)
-                            for b in batched
-                        ]
-                        out = fn(*one, *shared)
-                        return jax.tree.map(
-                            lambda x: jnp.expand_dims(x, 0), out
-                        )
-                    return jax.vmap(lambda *b: fn(*b, *shared))(*batched)
-
-                def cycle_b(state, params, ll, keys, flags):
-                    def inner(state, params, ll, keys, flags,
-                              r, c, dn, wm):
-                        f = _kern(r, c, dn, wm)[0]
-                        return _per_chain(
-                            f, (state, params, ll, keys), (flags,)
-                        )
-
-                    return shard_map(
-                        inner,
-                        mesh=mesh,
-                        in_specs=(Pc, Pc, Pc, Pc, P()) + pspec,
-                        out_specs=Pc,
-                        check_vma=False,
-                    )(state, params, ll, keys, flags,
-                      rows_s, cols_s, dn_s, wm_s)
-
-                def chunk_b(state, params, ll, pp, nz, order, keys,
-                            flags):
-                    def inner(state, params, ll, pp, nz, order, keys,
-                              flags, r, c, dn, wm):
-                        f = _kern(r, c, dn, wm)[2]
-                        return _per_chain(
-                            f,
-                            (state, params, ll, pp, nz, order, keys),
-                            (flags,),
-                        )
-
-                    return shard_map(
-                        inner,
-                        mesh=mesh,
-                        in_specs=(
-                            Pc, Pc, Pc, pp_b, Pc, Pc, Pc, P()
-                        ) + pspec,
-                        out_specs=(Pc, Pc, Pc, pp_b, Pc, Pc),
-                        check_vma=False,
-                    )(state, params, ll, pp, nz, order, keys, flags,
-                      rows_s, cols_s, dn_s, wm_s)
-
-                def init_b(state, params):
-                    def inner(state, params, r, c, dn, wm):
-                        f = _kern(r, c, dn, wm)[3]
-                        return _per_chain(f, (state, params), ())
-
-                    return shard_map(
-                        inner,
-                        mesh=mesh,
-                        in_specs=(Pc, Pc) + pspec,
-                        out_specs=(pp_b, Pc),
-                        check_vma=False,
-                    )(state, params, rows_s, cols_s, dn_s, wm_s)
-
-                return ChainBatchedFns(
-                    cycle=jax.jit(cycle_b),
-                    chunk=jax.jit(chunk_b),
-                    init_cache=jax.jit(init_b),
+                return _chain_batched_shard_map(
+                    mesh, n_chains, _kern,
+                    (rows_s, cols_s, dn_s, wm_s), pspec, pp_b,
                 )
 
             self._make_batched_fns = _batched_fns
@@ -1814,86 +1825,28 @@ class MultiChainSweep:
 
     @staticmethod
     def _shard_mapped_fns(engine, mesh, n_chains):
+        """Mesh-placed chain batch for a replicated engine: the pixel
+        arrays are closure constants, so the shard_map takes no extra
+        operands and the per-pixel cache is per-chain (P("chains")).
+        Cached on the engine per (mesh, n_chains)."""
         from jax.sharding import PartitionSpec as P
-
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
 
         if engine.mesh is not None:
             raise ValueError(
                 "candidate-sharded engines do not compose with a chain "
                 "batch; build with mesh=None"
             )
-        c_mesh = mesh.shape.get("chains", 1)
-        if n_chains % c_mesh:
-            raise ValueError(
-                f"{n_chains} chains not divisible by the mesh chains "
-                f"axis ({c_mesh})"
+        cache = getattr(engine, "_mesh_chain_fns_cache", None)
+        if cache is None:
+            cache = engine._mesh_chain_fns_cache = {}
+        key = (id(mesh), int(n_chains))
+        if key not in cache:
+            cyc, chk, ini = engine._fns_unjit
+            cache[key] = _chain_batched_shard_map(
+                mesh, n_chains, lambda: (cyc, None, chk, ini),
+                (), (), P("chains"),
             )
-        local = n_chains // c_mesh
-        cyc, chk, ini = engine._fns_unjit
-        Pc = P("chains")
-
-        def _per_chain(fn, batched, shared):
-            """Apply fn over the local chain slice of `batched` leaves
-            (shared args broadcast). local == 1 skips the vmap: the
-            common one-chain-per-row layout then runs the exact
-            single-chain graph on each device."""
-            if local == 1:
-                one = [jax.tree.map(lambda x: x[0], b) for b in batched]
-                out = fn(*one, *shared)
-                return jax.tree.map(lambda x: jnp.expand_dims(x, 0), out)
-            return jax.vmap(lambda *b: fn(*b, *shared))(*batched)
-
-        def cycle_b(state, params, ll, keys, flags):
-            def inner(state, params, ll, keys, flags):
-                return _per_chain(
-                    cyc, (state, params, ll, keys), (flags,)
-                )
-
-            return shard_map(
-                inner,
-                mesh=mesh,
-                in_specs=(Pc, Pc, Pc, Pc, P()),
-                out_specs=Pc,
-                check_vma=False,
-            )(state, params, ll, keys, flags)
-
-        def chunk_b(state, params, ll, pp, nz, order, keys, flags):
-            def inner(state, params, ll, pp, nz, order, keys, flags):
-                return _per_chain(
-                    chk,
-                    (state, params, ll, pp, nz, order, keys),
-                    (flags,),
-                )
-
-            return shard_map(
-                inner,
-                mesh=mesh,
-                in_specs=(Pc,) * 7 + (P(),),
-                out_specs=(Pc,) * 6,
-                check_vma=False,
-            )(state, params, ll, pp, nz, order, keys, flags)
-
-        def init_b(state, params):
-            def inner(state, params):
-                return _per_chain(ini, (state, params), ())
-
-            return shard_map(
-                inner,
-                mesh=mesh,
-                in_specs=(Pc, Pc),
-                out_specs=Pc,
-                check_vma=False,
-            )(state, params)
-
-        return ChainBatchedFns(
-            cycle=jax.jit(cycle_b),
-            chunk=jax.jit(chunk_b),
-            init_cache=jax.jit(init_b),
-        )
+        return cache[key]
 
     def _put(self, tree):
         if self._sharding is not None:

@@ -345,28 +345,35 @@ class Scaffolder:
         n_dev = len(jax.devices())
         mesh = None
         engine_kw = {}
-        if n_dev > 1 and n_dev % C == 0:
+        if n_dev > 1:
             from ..parallel.mesh import make_mesh
 
             if self.shard_nnz:
-                # chains x pixel shards on one 2-D mesh: each
-                # chains-row holds one chain, each shards-column one
-                # COO slice (BASELINE config #5 layout)
-                mesh = make_mesh(chains=C)
+                # chains x pixel shards on one 2-D mesh (BASELINE
+                # config #5 layout). When the chain count does not
+                # divide the device count, keep the pixels sharded
+                # over every device (the reason --shard-nnz exists)
+                # and batch the chains locally inside the shard_map.
+                c_axis = C if n_dev % C == 0 else 1
+                mesh = make_mesh(chains=c_axis)
                 engine_kw = {"mesh": mesh, "shard_nnz": True}
-            else:
+                logger.info(
+                    "mesh %s, nnz sharded%s", dict(mesh.shape),
+                    "" if c_axis == C
+                    else f"; {C} chains batched per chains-row",
+                )
+            elif n_dev % C == 0:
                 # replicated chains: one chain per device on a (C, 1)
                 # mesh — a (C, n/C) mesh would re-run each chain
                 # redundantly on every shards-column device
                 mesh = make_mesh(n_devices=C, chains=C)
-            logger.info(
-                "chains sharded over mesh %s%s", dict(mesh.shape),
-                " (nnz sharded)" if self.shard_nnz else "",
-            )
+                logger.info(
+                    "chains sharded over mesh %s", dict(mesh.shape)
+                )
         elif self.shard_nnz:
             logger.warning(
-                "shard_nnz requested but %d devices do not split "
-                "across %d chains; contact matrix replicated", n_dev, C
+                "shard_nnz requested but only one device is visible; "
+                "contact matrix stays on that chip"
             )
         if self._sweep_engine is None:
             with self.timer.phase("engine_build"):

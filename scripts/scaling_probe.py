@@ -86,14 +86,17 @@ def main():
     for C in [int(c) for c in args.chains.split(",")]:
         mesh = None
         ekw = {}
-        if n_dev > 1 and n_dev % C == 0 and C > 1:
-            if args.shard_nnz:
-                mesh = make_mesh(chains=C)
-                ekw = {"mesh": mesh, "shard_nnz": True}
-            else:
-                # one chain per device; a (C, n/C) mesh would rerun
-                # each chain redundantly on every shards column
-                mesh = make_mesh(n_devices=C, chains=C)
+        if n_dev > 1 and args.shard_nnz:
+            # pixels sharded in EVERY config (incl. the C=1 baseline,
+            # so efficiency compares like layouts); chains ride the
+            # mesh's chains axis when divisible, else batch locally
+            c_axis = C if (C > 1 and n_dev % C == 0) else 1
+            mesh = make_mesh(chains=c_axis)
+            ekw = {"mesh": mesh, "shard_nnz": True}
+        elif n_dev > 1 and C > 1 and n_dev % C == 0:
+            # one chain per device; a (C, n/C) mesh would rerun
+            # each chain redundantly on every shards column
+            mesh = make_mesh(n_devices=C, chains=C)
         engine = SweepEngine(
             sim, backend=args.backend, sample_param=True, **ekw
         )
@@ -137,7 +140,9 @@ def main():
         # `cycles` cycles in dt seconds
         rate = 3600.0 * C * args.cycles / dt
         if base_rate is None:
-            base_rate = rate / C  # C == 1 first by convention
+            # baseline = the FIRST configuration's per-chain rate
+            # (pass --chains 1,... for efficiency vs a single chain)
+            base_c, base_rate = C, rate / C
         eff = rate / (C * base_rate)
         log(json.dumps({
             "chains": C,
@@ -145,7 +150,8 @@ def main():
             "mesh": dict(mesh.shape) if mesh is not None else None,
             "chain_cycles_per_hour": round(rate, 1),
             "sec_per_cycle_call": round(dt / args.cycles, 3),
-            "efficiency_vs_1chain": round(eff, 3),
+            "efficiency_vs_first": round(eff, 3),
+            "baseline_chains": base_c,
             "compile_s": round(compile_s, 1),
         }))
 
