@@ -965,6 +965,32 @@ class TestChainsShardNnz:
         )
         np.testing.assert_allclose(ll_m, ll_v, rtol=1e-5)
 
+    def test_driver_indivisible_chains_keep_nnz_sharded(
+        self, toy_pre, tmp_path_factory
+    ):
+        """chains=3 does not divide 8 devices: the driver must keep the
+        pixels sharded over every device (a (1, 8) mesh) and batch the
+        3 chains locally, never silently replicate the contact matrix."""
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("chains3_shard")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=0, size_pyramid=4,
+            chains=3, shard_nnz=True,
+        )
+        scaf.full_em(n_cycles=1, bomb=True)
+        eng = scaf._sweep_engine
+        assert eng.shard_nnz
+        assert eng.mesh.shape == {"chains": 1, "shards": 8}
+        rows_s = eng._pix_sharded[0]
+        assert len({s.device for s in rows_s.addressable_shards}) == 8
+        chain_lls = np.loadtxt(
+            scaf.out / "list_chain_likelihoods.txt", skiprows=1
+        ).reshape(-1, 3)
+        assert chain_lls.shape[0] == 3
+        assert np.isfinite(chain_lls[:, 1]).all()
+
     def test_driver_chains_shard_nnz_resume(
         self, toy_pre, tmp_path_factory
     ):
