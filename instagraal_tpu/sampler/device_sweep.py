@@ -1769,7 +1769,22 @@ class MultiChainSweep:
     watchdog transports.
     """
 
-    def __init__(self, engine: SweepEngine, mesh=None, n_chains: int = 2):
+    def __init__(
+        self,
+        engine: SweepEngine,
+        mesh=None,
+        n_chains: int = 2,
+        sequential: bool | None = None,
+    ):
+        """sequential: run the chains one after another through the
+        engine's own run_cycle instead of a batched device call. Same
+        PRNG derivation, so trajectories match the batched layouts;
+        wall time is C x the single-chain cycle. Default (None) picks
+        sequential exactly when there is nothing to parallelize over —
+        no mesh and a non-sharded engine, i.e. all chains share one
+        device — where the vmapped batch was measured ~3x slower per
+        chain than just running the chains back to back (the vmapped
+        scan body defeats XLA's gather fusion)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.engine = engine
@@ -1787,13 +1802,18 @@ class MultiChainSweep:
                 )
         self.mesh = mesh
         self.n_chains = n_chains
+        if sequential is None:
+            sequential = mesh is None and not engine.shard_nnz
+        self.sequential = bool(sequential)
         self._sharding = (
             NamedSharding(mesh, P("chains")) if mesh is not None else None
         )
         # every per-chain quantity (state, params, ll, key) is batched:
         # nuisance MH makes parameters diverge between chains after the
         # first sampled cycle
-        if mesh is not None and not engine.shard_nnz:
+        if self.sequential:
+            fns = None
+        elif mesh is not None and not engine.shard_nnz:
             # replicated engine on a mesh: place each chain on its
             # chains-row with an explicit shard_map (collective-free —
             # the pixel arrays are closure constants replicated
@@ -1804,9 +1824,9 @@ class MultiChainSweep:
             fns = self._shard_mapped_fns(engine, mesh, n_chains)
         else:
             fns = engine.make_chain_batched(n_chains)
-        self._cycle_all = fns.cycle
-        self._chunk_all = fns.chunk
-        self._init_cache_all = fns.init_cache
+        self._cycle_all = fns.cycle if fns else None
+        self._chunk_all = fns.chunk if fns else None
+        self._init_cache_all = fns.init_cache if fns else None
         # per-chain PRNG derivation identical to the single-call cycle:
         # split into (permutation key, step keys) per chain
         n = engine.n_frags
@@ -1881,6 +1901,10 @@ class MultiChainSweep:
         Returns (states, params_all, per-chain lls, traces [C, n]).
         """
         keys = jax.random.split(key, self.n_chains)
+        if self.sequential:
+            return self._run_cycle_sequential(
+                states, params_all, lls, keys, sample_param
+            )
         flags = np.full(self.engine.n_frags, bool(sample_param))
         spc = self.engine.steps_per_call
         if spc is not None and spc < self.engine.n_frags:
@@ -1896,6 +1920,35 @@ class MultiChainSweep:
         )
         traces = {k: np.asarray(v) for k, v in traces.items()}
         return states, params_all, np.asarray(lls), traces
+
+    def _run_cycle_sequential(
+        self, states, params_all, lls, keys, sample_param
+    ):
+        """One chain after another through the engine's run_cycle
+        (which itself honors steps_per_call chunking). The per-chain
+        key is the same split the batched layouts use, so the
+        trajectories are identical — this is a pure execution-order
+        choice for the everything-on-one-device case."""
+        out_s, out_p, out_ll, out_tr = [], [], [], []
+        for c in range(self.n_chains):
+            st_c = jax.tree.map(lambda x: x[c], states)
+            pa_c = jax.tree.map(lambda x: x[c], params_all)
+            s, p, ll, tr = self.engine.run_cycle(
+                st_c, pa_c, float(np.asarray(lls)[c]), keys[c],
+                sample_param=sample_param,
+            )
+            out_s.append(s)
+            out_p.append(p)
+            out_ll.append(ll)
+            out_tr.append(tr)
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *out_s)
+        params_all = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *out_p
+        )
+        traces = {
+            k: np.stack([t[k] for t in out_tr]) for k in out_tr[0]
+        }
+        return states, params_all, np.asarray(out_ll), traces
 
     def _run_cycle_chunked(
         self, states, params_all, lls, keys, flags, spc

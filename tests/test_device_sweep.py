@@ -934,36 +934,46 @@ class TestChainsShardNnz:
         assert len(lls) == 2 * n_frags
         assert lls[-1] > lls[0]
 
-    def test_mesh_placed_batch_equals_vmap_batch(self):
-        """Replicated chains on a mesh run through an explicit
-        shard_map (one chain per chains-row, no GSPMD guessing); the
-        trajectories must equal the plain single-device vmap batch
-        exactly — same graphs, just placed."""
+    def test_chain_execution_layouts_agree(self):
+        """The three replicated-chain execution layouts — explicit
+        shard_map over a chains mesh, single-device vmap batch, and
+        sequential per-chain run_cycle — share the PRNG derivation and
+        must produce the same trajectories; they are pure placement /
+        execution-order choices."""
         from instagraal_tpu.parallel import make_mesh
         from instagraal_tpu.sampler.device_sweep import MultiChainSweep
         from instagraal_tpu.testing import SyntheticSim
 
         ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
         eng = SweepEngine(ssim, backend="full", sample_param=True)
-        ms_mesh = MultiChainSweep(
-            eng, mesh=make_mesh(n_devices=2, chains=2), n_chains=2
-        )
-        ms_vmap = MultiChainSweep(eng, mesh=None, n_chains=2)
+        layouts = {
+            "mesh": MultiChainSweep(
+                eng, mesh=make_mesh(n_devices=2, chains=2), n_chains=2
+            ),
+            "vmap": MultiChainSweep(
+                eng, mesh=None, n_chains=2, sequential=False
+            ),
+            "sequential": MultiChainSweep(eng, mesh=None, n_chains=2),
+        }
+        assert layouts["sequential"].sequential  # the default off-mesh
         ll0 = eng.initial_ll(ssim.state, ssim.params)
         lls = np.full(2, ll0)
         key = jax.random.PRNGKey(0)
-        st_m = ms_mesh.broadcast_state(ssim.state)
-        pa_m = ms_mesh.broadcast_params(ssim.params)
-        st_v = ms_vmap.broadcast_state(ssim.state)
-        pa_v = ms_vmap.broadcast_params(ssim.params)
-        _, _, ll_m, tr_m = ms_mesh.run_cycle(st_m, pa_m, lls, key)
-        _, _, ll_v, tr_v = ms_vmap.run_cycle(st_v, pa_v, lls, key)
-        np.testing.assert_array_equal(tr_m["id_fA"], tr_v["id_fA"])
-        np.testing.assert_array_equal(tr_m["op"], tr_v["op"])
-        np.testing.assert_allclose(
-            tr_m["likelihood"], tr_v["likelihood"], rtol=1e-5
-        )
-        np.testing.assert_allclose(ll_m, ll_v, rtol=1e-5)
+        results = {}
+        for name, ms in layouts.items():
+            st = ms.broadcast_state(ssim.state)
+            pa = ms.broadcast_params(ssim.params)
+            _, _, ll, tr = ms.run_cycle(st, pa, lls, key)
+            results[name] = (ll, tr)
+        ll_ref, tr_ref = results["mesh"]
+        for name in ("vmap", "sequential"):
+            ll, tr = results[name]
+            np.testing.assert_array_equal(tr["id_fA"], tr_ref["id_fA"])
+            np.testing.assert_array_equal(tr["op"], tr_ref["op"])
+            np.testing.assert_allclose(
+                tr["likelihood"], tr_ref["likelihood"], rtol=1e-5
+            )
+            np.testing.assert_allclose(ll, ll_ref, rtol=1e-5)
 
     def test_driver_indivisible_chains_keep_nnz_sharded(
         self, toy_pre, tmp_path_factory
