@@ -338,40 +338,43 @@ class TestPyramidParity:
                     )
 
 
+@pytest.fixture(scope="module")
+def filtered(ref_instagraal, toy_pre, tmp_path_factory):
+    """Reference and our build_and_filter run on the same pre output."""
+    import os
+
+    from instagraal_tpu.pyramid.build import build_and_filter as our_baf
+
+    ref_out = tmp_path_factory.mktemp("ref_filt")
+    our_out = tmp_path_factory.mktemp("our_filt")
+    # the reference filter scatters sparsity_plot.pdf into the CWD
+    cwd = os.getcwd()
+    os.chdir(ref_out)
+    try:
+        ref_instagraal["pyr"].build_and_filter(
+            str(toy_pre["dir"]), 3, 3, thresh_factor=1,
+            output_folder=str(ref_out),
+        )
+    finally:
+        os.chdir(cwd)
+    our_pyr = our_baf(
+        toy_pre["dir"], 3, 3, thresh_factor=1, output_folder=our_out
+    )
+    name = "pyramid_3_thresh_auto"
+    return {
+        "ref_root": ref_out / "pyramids" / name,
+        "our_root": our_out / "pyramids" / name,
+        "ref": ref_out / "pyramids" / name / "level_0",
+        "ours": our_out / "pyramids" / name / "level_0",
+        "our_pyramid": our_pyr,
+    }
+
+
 class TestFilteredPyramidParity:
     """build_and_filter (the production path): the sparsity filter +
     neighbor-merge of dropped fragments must produce the same filtered
     level-0 tables as the reference remove_problematic_fragments
     (reference pyramid_sparse.py:731-1029)."""
-
-    @pytest.fixture(scope="class")
-    def filtered(self, ref_instagraal, toy_pre, tmp_path_factory):
-        import os
-
-        from instagraal_tpu.pyramid.build import (
-            build_and_filter as our_baf,
-        )
-
-        ref_out = tmp_path_factory.mktemp("ref_filt")
-        our_out = tmp_path_factory.mktemp("our_filt")
-        # the reference filter scatters sparsity_plot.pdf into the CWD
-        cwd = os.getcwd()
-        os.chdir(ref_out)
-        try:
-            ref_instagraal["pyr"].build_and_filter(
-                str(toy_pre["dir"]), 3, 3, thresh_factor=1,
-                output_folder=str(ref_out),
-            )
-        finally:
-            os.chdir(cwd)
-        our_baf(
-            toy_pre["dir"], 3, 3, thresh_factor=1, output_folder=our_out
-        )
-        name = "pyramid_3_thresh_auto"
-        return {
-            "ref": ref_out / "pyramids" / name / "level_0",
-            "ours": our_out / "pyramids" / name / "level_0",
-        }
 
     @pytest.mark.parametrize(
         "fname", ["0_contig_info.txt", "0_abs_frag_contacts.txt"]
@@ -411,6 +414,83 @@ class TestFilteredPyramidParity:
             ref.loc[leak, "accu_frag"] > ours.loc[leak, "accu_frag"]
         ).all()
         assert (ours.loc[leak, "accu_frag"] >= 1).all()
+
+
+class TestFastaGenerationParity:
+    """generate_new_fasta (the scaffold-output path, reference
+    pyramid_sparse.py:1963-2033): given the SAME genome state (id_c,
+    pos, ori, activ, id_d), info_frags.txt must be byte-identical and
+    the FASTA identical modulo a documented reference bug — the
+    reference's load_reference_sequence joins the LAST input contig's
+    lines as all_lines[start:-1] (pyramid_sparse.py:1651), silently
+    dropping that contig's final sequence line. With pyramid tables
+    byte-identical (tests above) and output generation byte-identical,
+    any end-to-end divergence from the reference is confined to the
+    sampler trajectory itself (BASELINE target 1)."""
+
+    def _state(self, n, seed=7):
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        id_c = np.zeros(n, np.int32)
+        id_c[perm[n // 2:]] = 1
+        pos = np.zeros(n, np.int32)
+        for c in (0, 1):
+            m = np.flatnonzero(id_c == c)
+            pos[m[rng.permutation(len(m))]] = np.arange(
+                len(m), dtype=np.int32
+            )
+        ori = np.where(rng.random(n) < 0.4, -1, 1).astype(np.int32)
+
+        class NS:
+            pass
+
+        vf = NS()
+        vf.id_c, vf.pos, vf.ori = id_c, pos, ori
+        vf.activ = np.ones(n, np.int32)
+        vf.id_d = np.arange(n, dtype=np.int32)
+        return vf
+
+    def test_outputs_match_modulo_last_line_bug(
+        self, ref_instagraal, filtered, toy_pre, tmp_path
+    ):
+        from instagraal_tpu.io.fasta import read_fasta
+
+        ref_mod = ref_instagraal["pyr"]
+        rp = ref_mod.pyramid(str(filtered["ref_root"]), 3)
+        rp.load_reference_sequence(str(toy_pre["fasta"]))
+        rlvl = ref_mod.level(rp, 2)
+
+        our_pyr = filtered["our_pyramid"]
+        our_pyr.load_reference_sequence(toy_pre["fasta"])
+        olvl = our_pyr.get_level(2)
+
+        vf = self._state(rlvl.n_frags)
+        rfa, rinfo = tmp_path / "ref.fa", tmp_path / "ref_info.txt"
+        ofa, oinfo = tmp_path / "our.fa", tmp_path / "our_info.txt"
+        rlvl.generate_new_fasta(vf, str(rfa), str(rinfo))
+        olvl.generate_new_fasta(vf, ofa, oinfo)
+
+        assert oinfo.read_text() == rinfo.read_text()
+
+        # the reference loader truncates the LAST input contig by its
+        # final FASTA line; with that truncation applied to our loader,
+        # the outputs must be byte-identical
+        seqs = read_fasta(toy_pre["fasta"])
+        last = list(seqs)[-1]
+        ref_seqs = rp.dict_sequence_contigs
+        delta = len(seqs[last]) - len(ref_seqs[last])
+        assert delta > 0, "expected the reference last-line drop"
+        assert ref_seqs[last] == seqs[last][:-delta]
+        for name in list(seqs)[:-1]:
+            assert ref_seqs[name] == seqs[name]
+
+        our_pyr.sequences[last] = seqs[last][:-delta]
+        try:
+            ofa2 = tmp_path / "our_truncated.fa"
+            olvl.generate_new_fasta(vf, ofa2, tmp_path / "i2.txt")
+            assert ofa2.read_text() == rfa.read_text()
+        finally:
+            our_pyr.sequences[last] = seqs[last]
 
 
 def _subtract(coo: pd.DataFrame, minus: pd.DataFrame) -> pd.DataFrame:
