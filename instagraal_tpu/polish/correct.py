@@ -222,7 +222,16 @@ def find_lost_dna(init_fasta, scaffolds, output_file=None) -> dict:
 
 def integrate_lost_dna(scaffolds, lost_dna_positions) -> dict:
     """Re-insert lost chunks adjacent to the bins they border; leftovers
-    become their own scaffolds (reference :483-537)."""
+    become their own scaffolds (reference :483-537).
+
+    Control flow mirrors the reference exactly, including two quirks
+    that shift insertion indices (verified by differential test): a
+    chunk inserted before the first bin uses ``insert(i - 1)``
+    unclamped (i == 0 -> list.insert(-1, .) places it before the LAST
+    element), and once a contig's chunks have been consumed the bare
+    ``remaining.pop(init_name)`` raises KeyError, which aborts the
+    chunk scan for the current bin and advances ``i`` once via the
+    except path (reference :511-523)."""
     scaffolds = format_info_frags(scaffolds)
     remaining = copy.deepcopy(lost_dna_positions)
     out = {}
@@ -230,25 +239,30 @@ def integrate_lost_dna(scaffolds, lost_dna_positions) -> dict:
         modified = copy.deepcopy(scaffold)
         i = 0
         for my_bin in scaffold:
-            init_name, _fid, start, end, ori = my_bin
-            chunks = lost_dna_positions.get(init_name)
-            if chunks:
+            init_name = my_bin[0]
+            try:
+                chunks = lost_dna_positions[init_name]
+                start, end, ori = my_bin[2], my_bin[3], my_bin[4]
                 for lost_bin in chunks:
                     lost_start, lost_end = lost_bin[2], lost_bin[3]
                     if end == lost_start - 1:
                         modified.insert(
                             i + 1 - (ori < 0),
-                            [init_name, -1, lost_start - 1, lost_end + 1, ori],
+                            [init_name, -1, lost_start - 1,
+                             lost_end + 1, ori],
                         )
-                        remaining.pop(init_name, None)
+                        remaining.pop(init_name)
                         i += 1
                     elif start in (lost_end, lost_end - 1, lost_end + 1):
                         modified.insert(
-                            max(i - 1, 0),
+                            i - 1,
                             [init_name, -1, lost_start, lost_end, ori],
                         )
-                        remaining.pop(init_name, None)
+                        remaining.pop(init_name)
                         i += 1
+            except (ValueError, KeyError):
+                i += 1
+                continue
             i += 1
         out[name] = modified
     for rem_name, rem_bins in remaining.items():

@@ -493,6 +493,154 @@ class TestFastaGenerationParity:
             our_pyr.sequences[last] = seqs[last]
 
 
+class TestPolishParity:
+    """Polish correction algorithms vs reference _scaffold_correct on
+    shared synthetic scaffold dicts. The reference module needs only a
+    minimal Bio stub (its correction functions are pure dict
+    manipulation; Biopython is absent from this environment)."""
+
+    @pytest.fixture(scope="class")
+    def ref_corr(self, ref_instagraal):
+        import types
+
+        if "Bio" not in sys.modules:
+            bio = types.ModuleType("Bio")
+            seqmod = types.ModuleType("Bio.Seq")
+
+            class Seq(str):
+                def __new__(cls, s):
+                    return str.__new__(cls, s)
+
+            seqmod.Seq = Seq
+            recmod = types.ModuleType("Bio.SeqRecord")
+            recmod.SeqRecord = object
+            seqio = types.ModuleType("Bio.SeqIO")
+
+            class _Rec:
+                def __init__(self, rid, seq):
+                    self.id = rid
+                    self.seq = seq
+
+                def __len__(self):
+                    return len(self.seq)
+
+            def parse(path, fmt):
+                name, chunks = None, []
+                with open(path) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line.startswith(">"):
+                            if name is not None:
+                                yield _Rec(name, "".join(chunks))
+                            name, chunks = line[1:].split()[0], []
+                        else:
+                            chunks.append(line)
+                if name is not None:
+                    yield _Rec(name, "".join(chunks))
+
+            seqio.parse = parse
+            bio.SeqIO, bio.Seq, bio.SeqRecord = seqio, seqmod, recmod
+            sys.modules.update(
+                {
+                    "Bio": bio,
+                    "Bio.Seq": seqmod,
+                    "Bio.SeqRecord": recmod,
+                    "Bio.SeqIO": seqio,
+                }
+            )
+        import instagraal._scaffold_correct as ref_corr
+
+        return ref_corr
+
+    @staticmethod
+    def _scaffolds(seed, drop_fraction=0.0):
+        """Realistic scaffold dicts: 4 source contigs, each cut into
+        consecutive fragments (bin = [init_contig, id_frag, start,
+        end, ori]); fragments shuffled into 3 scaffolds, a fraction
+        dropped ("lost DNA"). Returns (scaffolds, contig_lengths)."""
+        rng = np.random.default_rng(seed)
+        frags, lengths = [], {}
+        fid = 0
+        for c in range(4):
+            name = f"ctg{c}"
+            pos = 0
+            for _ in range(int(rng.integers(4, 9))):
+                length = int(rng.integers(500, 5000))
+                frags.append(
+                    [name, fid, pos, pos + length,
+                     int(rng.choice([-1, 1]))]
+                )
+                pos += length
+                fid += 1
+            lengths[name] = pos
+        keep = [
+            f for f in frags if rng.random() >= drop_fraction
+        ]
+        order = rng.permutation(len(keep))
+        scaf = {f"scaffold_{s}": [] for s in range(3)}
+        for i, idx in enumerate(order):
+            scaf[f"scaffold_{i % 3}"].append(keep[idx])
+        return scaf, lengths
+
+    @staticmethod
+    def _norm(d):
+        return {
+            k: [
+                [str(b[0]), int(b[1]), int(b[2]), int(b[3]), int(b[4])]
+                for b in v
+            ]
+            for k, v in d.items()
+        }
+
+    @pytest.mark.parametrize(
+        "fn_name",
+        [
+            "remove_spurious_insertions",
+            "correct_spurious_inversions",
+            "rearrange_intra_scaffolds",
+            "reorient_consecutive_blocks",
+        ],
+    )
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_correction_matches(self, ref_corr, fn_name, seed):
+        import copy
+
+        from instagraal_tpu.polish import correct as our_corr
+
+        d, _ = self._scaffolds(seed)
+        ref = getattr(ref_corr, fn_name)(copy.deepcopy(d))
+        ours = getattr(our_corr, fn_name)(copy.deepcopy(d))
+        assert self._norm(ours) == self._norm(ref)
+
+    def test_lost_dna_roundtrip_matches(self, ref_corr, tmp_path):
+        import copy
+
+        from instagraal_tpu.polish import correct as our_corr
+
+        rng = np.random.default_rng(42)
+        d, lengths = self._scaffolds(7, drop_fraction=0.25)
+        fa = tmp_path / "init.fa"
+        with open(fa, "w") as f:
+            for name, length in sorted(lengths.items()):
+                f.write(f">{name}\n")
+                seq = "".join(rng.choice(list("ACGT"), size=length))
+                for i in range(0, length, 60):
+                    f.write(seq[i:i + 60] + "\n")
+        r_lost = ref_corr.find_lost_dna(fa, copy.deepcopy(d))
+        o_lost = our_corr.find_lost_dna(fa, copy.deepcopy(d))
+        assert any(v for v in r_lost.values()), "expected lost DNA"
+        assert {k: sorted(map(tuple, v)) for k, v in o_lost.items()} == {
+            k: sorted(map(tuple, v)) for k, v in r_lost.items()
+        }
+        r_int = ref_corr.integrate_lost_dna(
+            copy.deepcopy(d), copy.deepcopy(r_lost)
+        )
+        o_int = our_corr.integrate_lost_dna(
+            copy.deepcopy(d), copy.deepcopy(o_lost)
+        )
+        assert self._norm(o_int) == self._norm(r_int)
+
+
 def _subtract(coo: pd.DataFrame, minus: pd.DataFrame) -> pd.DataFrame:
     """coo - minus on (fa, fb), dropping pixels that reach 0."""
     if len(minus) == 0:
