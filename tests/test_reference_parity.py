@@ -641,6 +641,99 @@ class TestPolishParity:
         assert self._norm(o_int) == self._norm(r_int)
 
 
+class TestPostLiftoverParity:
+    """Post liftover math vs reference post.py on shared scaffold
+    dicts: new-assembly bin construction (junction-gap logic), the
+    liftover index, and 1-based position mapping incl. the
+    reverse-complement mirror. The reference module needs a minimal
+    cooler stub (cooler is absent; only imported, not used here)."""
+
+    @pytest.fixture(scope="class")
+    def ref_post(self, ref_instagraal):
+        import types
+
+        for name in ("cooler",):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+        # parse_info_frags pulls _scaffold_io, which imports Bio
+        if "Bio" not in sys.modules:
+            bio = types.ModuleType("Bio")
+            seqmod = types.ModuleType("Bio.Seq")
+
+            class Seq(str):
+                def __new__(cls, s):
+                    return str.__new__(cls, s)
+
+            seqmod.Seq = Seq
+            recmod = types.ModuleType("Bio.SeqRecord")
+            recmod.SeqRecord = object
+            bio.SeqIO = types.ModuleType("Bio.SeqIO")
+            bio.Seq, bio.SeqRecord = seqmod, recmod
+            sys.modules.update(
+                {
+                    "Bio": bio,
+                    "Bio.Seq": seqmod,
+                    "Bio.SeqRecord": recmod,
+                    "Bio.SeqIO": bio.SeqIO,
+                }
+            )
+        import instagraal.post as ref_post
+
+        return ref_post
+
+    @staticmethod
+    def _scaffolds(seed):
+        scaf, _ = TestPolishParity._scaffolds(seed, drop_fraction=0.2)
+        return scaf
+
+    @pytest.mark.parametrize("seed", [0, 3, 9])
+    @pytest.mark.parametrize("junction_len", [0, 6, 100])
+    def test_bins_and_liftover_match(self, ref_post, seed, junction_len):
+        from instagraal_tpu import post as our_post
+
+        d = self._scaffolds(seed)
+        rb = ref_post._build_new_bins(d, junction_len=junction_len)
+        ob = our_post.build_new_bins(d, junction_len=junction_len)
+        pd.testing.assert_frame_equal(
+            ob, rb, check_dtype=False
+        )
+
+        ri = ref_post._build_liftover_index(rb)
+        oi = our_post.LiftoverIndex(ob)
+
+        rng = np.random.default_rng(seed)
+        chroms, poss = [], []
+        for c in ri:
+            max_end = int(ri[c]["orig_ends"].max())
+            probe = np.concatenate(
+                [
+                    rng.integers(1, max_end + 500, size=40),
+                    ri[c]["orig_starts"][:3] + 1,
+                    ri[c]["orig_ends"][:3],
+                ]
+            )
+            chroms.extend([c] * len(probe))
+            poss.extend(int(p) for p in probe)
+        chroms.append("absent")
+        poss.append(5)
+        oc, op, ob_id = oi.lift(
+            np.asarray(chroms, dtype=object),
+            np.asarray(poss, dtype=np.int64),
+        )
+        for k, (c, pos) in enumerate(zip(chroms, poss)):
+            # scalar reference mapping vs our batched liftover
+            r_bin = ref_post._pos_to_new_bin(c, pos, ri)
+            r_coord = ref_post._pos_to_new_coords(c, pos, ri)
+            if r_bin is None:
+                assert ob_id[k] == -1 and op[k] == -1 and oc[k] == ""
+                assert r_coord is None
+            else:
+                assert ob_id[k] == r_bin
+                assert (str(oc[k]), int(op[k])) == (
+                    str(r_coord[0]), int(r_coord[1])
+                )
+
+
 def _subtract(coo: pd.DataFrame, minus: pd.DataFrame) -> pd.DataFrame:
     """coo - minus on (fa, fb), dropping pixels that reach 0."""
     if len(minus) == 0:
