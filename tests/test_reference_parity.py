@@ -734,6 +734,103 @@ class TestPostLiftoverParity:
                 )
 
 
+class TestPrePixelParity:
+    """Pairs -> fragment-pixel binning vs reference pre.py (the one pre
+    stage with no downstream differential coverage; the digest needs
+    real Biopython and stays excluded). Exercises the #columns header
+    remap, 1-based to 0-based conversion at fragment boundaries,
+    unknown chroms, malformed lines, and upper-triangular
+    canonicalization — against BOTH our C++ scanner and the pandas
+    fallback."""
+
+    @pytest.fixture(scope="class")
+    def ref_pre(self, ref_instagraal):
+        import types
+
+        for name in ("cooler",):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+        for name in ("Bio.Restriction", "Bio.Seq"):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+        if "Bio" not in sys.modules:
+            bio = types.ModuleType("Bio")
+            bio.SeqIO = types.ModuleType("Bio.SeqIO")
+            sys.modules["Bio"] = bio
+            sys.modules["Bio.SeqIO"] = bio.SeqIO
+        else:
+            bio = sys.modules["Bio"]
+        bio.Restriction = sys.modules["Bio.Restriction"]
+        import instagraal.pre as ref_pre
+
+        return ref_pre
+
+    @staticmethod
+    def _bins():
+        rows = []
+        for chrom, cuts in {
+            "chrA": [0, 300, 900, 1200, 2000],
+            "chrB": [0, 150, 151, 700],
+            "chrC": [0, 500],
+        }.items():
+            for s, e in zip(cuts[:-1], cuts[1:]):
+                rows.append({"chrom": chrom, "start": s, "end": e})
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def _pairs_file(tmp, seed=0):
+        rng = np.random.default_rng(seed)
+        p = tmp / "toy.pairs"
+        chroms = {"chrA": 2000, "chrB": 700, "chrC": 500, "chrZ": 400}
+        with open(p, "w") as f:
+            f.write("## pairs format v1.0\n")
+            # nonstandard column order: readID last, strands between
+            f.write(
+                "#columns: chr1 pos1 strand1 chr2 pos2 strand2 readID\n"
+            )
+            for i in range(3000):
+                c1, c2 = rng.choice(list(chroms), 2)
+                f.write(
+                    f"{c1}\t{rng.integers(1, chroms[c1] + 5)}\t+\t"
+                    f"{c2}\t{rng.integers(1, chroms[c2] + 5)}\t-\tr{i}\n"
+                )
+            # boundary probes: 1-based pos == cut site goes LEFT
+            f.write("chrA\t300\t+\tchrA\t301\t-\trX\n")
+            f.write("chrB\t151\t+\tchrB\t1\t-\trY\n")
+            # malformed lines are skipped
+            f.write("chrA\tnotanint\t+\tchrA\t5\t-\trZ\n")
+            f.write("short\tline\n")
+        return p
+
+    def test_pixels_match_reference(
+        self, ref_pre, tmp_path_factory, monkeypatch
+    ):
+        from instagraal_tpu.io import pairs as our_pairs
+
+        tmp = tmp_path_factory.mktemp("pre_pixels")
+        bins = self._bins()
+        pairs = self._pairs_file(tmp)
+        ref_px, ref_total = ref_pre._pairs_to_pixels(pairs, bins)
+
+        our_px, our_total = our_pairs.pairs_to_pixels(pairs, bins)
+        assert our_total == ref_total
+        pd.testing.assert_frame_equal(
+            our_px.reset_index(drop=True).astype(np.int64),
+            ref_px.reset_index(drop=True).astype(np.int64),
+        )
+
+        # force the pandas fallback and compare again
+        monkeypatch.setattr(
+            our_pairs, "_pairs_to_pixels_native", lambda *a: None
+        )
+        fb_px, fb_total = our_pairs.pairs_to_pixels(pairs, bins)
+        assert fb_total == ref_total
+        pd.testing.assert_frame_equal(
+            fb_px.reset_index(drop=True).astype(np.int64),
+            ref_px.reset_index(drop=True).astype(np.int64),
+        )
+
+
 def _subtract(coo: pd.DataFrame, minus: pd.DataFrame) -> pd.DataFrame:
     """coo - minus on (fa, fb), dropping pixels that reach 0."""
     if len(minus) == 0:
