@@ -15,7 +15,9 @@ path. `select_repeated_frags` is still provided for inspection.
 from __future__ import annotations
 
 import pathlib
+import threading
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
@@ -41,7 +43,9 @@ def select_repeated_frags(level) -> np.ndarray:
     return np.flatnonzero(cov > thresh)
 
 
-def build_sub_index(level, sub_level) -> tuple[SubIndex, np.ndarray]:
+def build_sub_index(
+    level, sub_level
+) -> tuple[SubIndex, np.ndarray, dict]:
     """Sub-fragment index: owning frag, watson/crick midpoint offsets.
 
     Vectorized create_sub_frags (reference simu_single.py:674-723). For
@@ -78,7 +82,12 @@ def build_sub_index(level, sub_level) -> tuple[SubIndex, np.ndarray]:
         c_dist=jnp.asarray(c_dist),
         j_of_sub=jnp.asarray(j_of_sub),
     )
-    return idx, sub_len_bp
+    # host-side twins: parameter estimation reads these with plain
+    # numpy, so setup never blocks on a device->host transfer (the
+    # first dtoh through a tunneled TPU pays a ~60 s one-time warmup
+    # — measured; see Simulation.__init__)
+    host = {"frag_of_sub": frag_of_sub, "w_dist": w_dist}
+    return idx, sub_len_bp, host
 
 
 def neighbour_distributions(level) -> list[dict]:
@@ -147,8 +156,12 @@ class Simulation:
         if circular:
             soa["circ"] = soa["circ"] + 1  # reference instagraal.py:569-570
         self.state: FragState = state_from_soa(soa)
+        # numpy originals of the initial genome — estimate_parameters_
+        # rippe reads these instead of round-tripping self.state off the
+        # device (see _warm_dtoh below for why that matters)
+        self._soa_host = soa
 
-        self.sub_index, self.sub_len_kb = build_sub_index(
+        self.sub_index, self.sub_len_kb, self._sub_host = build_sub_index(
             self.level, self.sub_level
         )
         self.mean_size_frag_kb = float(np.mean(self.sub_len_kb))
@@ -180,6 +193,23 @@ class Simulation:
             self.nnz,
         )
 
+        # Warm the device->host transfer path in the background. On a
+        # tunneled TPU the FIRST dtoh of the process pays a ~60 s
+        # one-time runtime warmup (measured: 60.4 s for a 490-int32
+        # array, then <1 ms for everything after). Setup itself never
+        # transfers (host twins above), so starting the warmup here
+        # lets it overlap the Rippe fit and the engine compile instead
+        # of stalling the first cycle's trace fetch.
+        def _warm_dtoh(arr=self.coo_rows):
+            try:
+                jax.device_get(arr[:1])
+            except Exception:  # never let warmup break setup
+                pass
+
+        threading.Thread(
+            target=_warm_dtoh, name="dtoh-warmup", daemon=True
+        ).start()
+
     # ------------------------------------------------------------------
     def blacklist_contigs(self, contig_ids: list[int]) -> set[int]:
         """Exclude whole contigs from sampling (reference
@@ -204,12 +234,17 @@ class Simulation:
         a sample of sub-fragments by initial-genome distance, fit the
         Rippe curve in log space, then lower the trans level tenfold and
         solve the cis/trans crossover.
+
+        Runs entirely on the INITIAL genome (as the reference does at
+        sampler init), so it reads the host-side numpy twins of the
+        state/sub-index and never touches a device array — keeping
+        setup free of dtoh transfers (the first one pays the tunnel
+        warmup; see __init__).
         """
-        id_start = np.flatnonzero(
-            np.asarray(self.state.start_bp) == 0
-        )
+        soa = self._soa_host
+        id_start = np.flatnonzero(np.asarray(soa["start_bp"]) == 0)
         max_dist_kb = float(
-            np.asarray(self.state.l_cont_bp)[id_start].max() / 1000.0
+            np.asarray(soa["l_cont_bp"])[id_start].max() / 1000.0
         )
         size_bin_kb = self.mean_size_frag_kb / 2.0
         logger.info(
@@ -222,11 +257,11 @@ class Simulation:
         sums = np.zeros(len(bins), dtype=np.float64)
         counts = np.zeros(len(bins), dtype=np.int64)
 
-        frag_of_sub = np.asarray(self.sub_index.frag_of_sub)
-        w = np.asarray(self.sub_index.w_dist, dtype=np.float64)
-        start_bp = np.asarray(self.state.start_bp, dtype=np.float64)
-        id_c = np.asarray(self.state.id_c)
-        l_cont_bp = np.asarray(self.state.l_cont_bp, dtype=np.float64)
+        frag_of_sub = self._sub_host["frag_of_sub"]
+        w = np.asarray(self._sub_host["w_dist"], dtype=np.float64)
+        start_bp = np.asarray(soa["start_bp"], dtype=np.float64)
+        id_c = np.asarray(soa["id_c"])
+        l_cont_bp = np.asarray(soa["l_cont_bp"], dtype=np.float64)
         s_kb = start_bp[frag_of_sub] / 1000.0 + w
 
         sub_csr = (

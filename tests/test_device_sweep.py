@@ -628,8 +628,10 @@ class TestMultiChainSweep:
 
         # ...and under the chain vmap it lowers to a select of two
         # exact scorings — chain 0, seeded identically, must follow
-        # the identical trajectory
-        mc = MultiChainSweep(engine, n_chains=2)
+        # the identical trajectory. sequential=False forces the
+        # batched (vmapped) path this test exists to exercise — the
+        # single-device default now runs chains back to back.
+        mc = MultiChainSweep(engine, n_chains=2, sequential=False)
         states = mc.broadcast_state(ssim.state)
         lls = np.full(2, ll0)
         keys_used = jax.random.split(key, 2)
