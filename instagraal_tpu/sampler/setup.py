@@ -51,7 +51,9 @@ def build_sub_index(
     Vectorized create_sub_frags (reference simu_single.py:674-723). For
     each level-L fragment, its level-(L-1) sub-fragments get kb offsets
     w_d (cumulative length before + half own) and c_d (cumulative length
-    after + half own). Returns (SubIndex, per-sub length kb array).
+    after + half own). Returns (SubIndex, per-sub length kb array,
+    host-side numpy twin dict of {frag_of_sub, w_dist} — parameter
+    estimation reads these without a device->host transfer).
     """
     frags = level._frag_table
     sub_len_bp = sub_level.S_o_A_frags["len_bp"].astype(np.float64) / 1000.0
