@@ -121,7 +121,9 @@ def all_candidate_states(
     return stacked, valid
 
 
-def renumber_contigs(state: FragState) -> tuple[FragState, jnp.ndarray, jnp.ndarray]:
+def renumber_contigs(
+    state: FragState, headroom: int = 8
+) -> tuple[FragState, jnp.ndarray, jnp.ndarray]:
     """Compact contig ids to 0..n_contigs-1, longest contig highest.
 
     Mirrors the live renumbering of reference modify_gl_cuda_buffer
@@ -130,10 +132,14 @@ def renumber_contigs(state: FragState) -> tuple[FragState, jnp.ndarray, jnp.ndar
     ascending, deterministically — the reference's tie order is atomics-
     dependent) and new id = n_contigs - 1 - rank.
 
+    headroom: how far above n_frags ids may have grown since the last
+    renumber (the seg backend renumbers every K steps, not every step,
+    so ids can reach n_frags + a few per accepted move).
+
     Returns (renumbered state, n_contigs, mean contig length in frags).
     """
     n = state.n_frags
-    m = n + 8  # id head-room during mutation chains
+    m = n + int(headroom)  # id head-room during mutation chains
     counts = jnp.bincount(state.id_c, length=m)
     present = counts > 0
     n_contigs = present.sum()

@@ -37,9 +37,25 @@ Performance design (see docs/DESIGN.md):
   endpoints in the affected contigs are compacted
   (jnp.nonzero(size=cap)) and re-gathered for the 24 mutations.
   backend="sliced" additionally applies the reference's same-contig
-  windowing; "full" (the default where it fits) is unwindowed = exact.
+  windowing; "full" (unwindowed) is exact per candidate.
   score = nz_total - sum(pp_cur*touch) + sum(g_trans*(touch-both))
           + nz_both_mut + zeros_mut.
+- backend="seg" (the beyond-block-envelope default) is the same exact
+  cis/trans-split delta as "full" with the per-candidate
+  jnp.nonzero-over-nnz compaction replaced by a per-STEP sorted
+  contig-pair index: pixels are keyed by the unordered contig-pair
+  code min(cA,cB)*ncp + max(cA,cB) and sorted once per sweep step
+  (lax.sort_key_val, shared by all candidates and the post-accept
+  cache update). A candidate's both-endpoint pixel set is then the
+  union of the three contiguous segments (a,a), (a,b), (b,b), located
+  by searchsorted in O(log nnz) and gathered in O(cap) — so the only
+  O(nnz) work per CANDIDATE is cheap fused masked sums, and the
+  engine's step cost stays O(nnz) at every genome scale (the
+  reference's own property: its hot kernels are O(slice) via
+  slice_sp_mat :485 / eval_sub_likelihood :4236). HBM stays O(nnz)
+  (no dense [S+1]^2 grid), so fine pyramid levels and large genomes
+  keep block-class throughput instead of falling back to the
+  nonzero-compaction delta paths.
 - Oversized slices are re-scored exactly through one step-level
   `lax.cond` over *all* candidates (any candidate overflowing triggers
   a full-matrix pass whose result replaces only the overflowed rows) —
@@ -86,6 +102,10 @@ import os as _os
 _AGG_PRECISION = jax.lax.Precision[
     _os.environ.get("INSTAGRAAL_TPU_AGG_PREC", "HIGH")
 ]
+
+# id headroom above n_frags during a step's mutation chains (the seg
+# shard variant keys pixels by contig-pair codes and needs the bound)
+SEG_ID_SLACK = 16
 
 
 class ChainBatchedFns(NamedTuple):
@@ -563,15 +583,31 @@ class SweepEngine:
                 raise ValueError("shard_nnz + wide_rows not supported")
             if backend == "block":
                 raise ValueError(
-                    "the dense block backend is not pixel-sharded; "
-                    "use backend='full'/'sliced'/'plain' with shard_nnz"
+                    "the dense block backend is not pixel-sharded; use "
+                    "backend='seg'/'full'/'sliced'/'plain' with "
+                    "shard_nnz"
                 )
         nnz = int(sim.coo_rows.shape[0])
+        slice_capacity_req = slice_capacity
         if slice_capacity == "auto":
             slice_capacity = suggest_slice_capacity(sim)
         elif slice_capacity is None:
             slice_capacity = int(min(nnz, max(4096, nnz // 16)))
         n_sub_total = int(np.asarray(sim.sub_index.frag_of_sub).shape[0])
+        # seg eligibility: the replicated fast layout (row-sorted
+        # canonical COO) works at ANY genome scale — its pixel
+        # compaction rides static CSR/CSC runs, no pair codes at all.
+        # Only the shard_nnz variant keys pixels by an int32 ordered
+        # contig-pair code row*ncp + col, so there codes must fit.
+        rows_sorted = bool(
+            np.all(np.diff(np.asarray(sim.coo_rows)) >= 0)
+        )
+        seg_codes_fit = (
+            (sim.n_frags + SEG_ID_SLACK) ** 2 <= np.iinfo(np.int32).max
+        )
+        seg_ok = (
+            (not shard_nnz and rows_sorted) or seg_codes_fit
+        )
         if backend == "auto":
             # "plain" scores all nnz pixels per mutation with no delta
             # bookkeeping — fastest below ~16k nnz (measured: synthetic
@@ -582,20 +618,71 @@ class SweepEngine:
             # (profiled: jnp.nonzero over [n_cand, nnz] was 12 ms/step
             # of the 25 ms yeast-L4 step, half the whole budget) — the
             # preferred backend whenever the dense [n_sub+1]^2 observed
-            # matrix fits HBM comfortably. "full" and "sliced" are the
-            # gather-based delta paths for finer levels; they differ
-            # only in the reference's same-contig windowing of the
-            # touch mask (unwindowed "full" is exact per candidate).
+            # matrix fits HBM comfortably. Beyond that envelope "seg"
+            # keeps the exact delta O(nnz)/step via the per-step sorted
+            # contig-pair index (see module docstring). "full" and
+            # "sliced" are the nonzero-compaction delta paths, kept for
+            # genomes whose pair codes exceed int32 (> ~46k frags at
+            # the scaffolding level) and as executable references; they
+            # differ only in the reference's same-contig windowing of
+            # the touch mask (unwindowed "full" is exact per candidate).
             if nnz < 16384:
                 backend = "plain"
             elif n_sub_total <= 6144 and not shard_nnz:
                 backend = "block"
+            elif seg_ok:
+                backend = "seg"
             else:
                 backend = (
                     "full"
                     if suggest_slice_capacity(sim) <= slice_capacity
                     else "sliced"
                 )
+        if backend == "seg" and not seg_ok:
+            raise ValueError(
+                f"the sharded seg backend needs "
+                f"(n_frags+{SEG_ID_SLACK})^2 < 2^31 for int32 pair "
+                f"codes (n_frags={sim.n_frags}); use 'full' or "
+                f"'sliced', or scaffold at a coarser pyramid level"
+            )
+        self.seg_cap2 = None
+        self.seg_updcaps = None
+        self.seg_rowcaps = None
+        if backend == "seg":
+            # two-tier rescore capacity: the per-candidate 24-way
+            # rescore costs ~1.3 us per capacity unit per step
+            # (gather-issue bound, measured on the dev TPU at yeast
+            # L2), so tier 1 is sized for the COMMON pair and tier 2
+            # (the data-driven worst-pair bound) runs as a rare
+            # lax.cond branch; anything beyond tier 2 takes the exact
+            # full-matrix pass. An explicit slice_capacity int
+            # overrides tier 1.
+            if isinstance(slice_capacity_req, int):
+                tier1 = int(min(nnz, slice_capacity_req))
+            else:
+                tier1 = int(min(nnz, max(512, min(nnz // 1024, 8192))))
+            tier2 = int(
+                min(nnz, max(4 * tier1, suggest_slice_capacity(sim)))
+            )
+            slice_capacity = tier1
+            self.seg_cap2 = tier2
+            # row-in window capacities (tier1, tier2): the two-stage
+            # compaction first composes the pair's member CSR runs
+            # (ALL pixels whose row endpoint is a member — ~1/cis-frac
+            # larger than both-in) into a window, then compacts the
+            # col-in pixels из it with a cheap window-sized nonzero
+            self.seg_rowcaps = (
+                int(min(nnz, max(4096, 4 * tier1))),
+                int(min(nnz, 4 * max(4 * tier1, tier2))),
+            )
+            # post-accept geometry updates run over the row-in window
+            self.seg_updcaps = self.seg_rowcaps
+            # member-sub capacity (cheap: only O(mcap) index math
+            # scales with it — size it so two chromosome-scale
+            # contigs fit)
+            self.seg_mcap = int(
+                min(n_sub_total + 1, max(256, n_sub_total // 4))
+            )
         if steps_per_call == "auto":
             # bound a device call to ~20-30 s under the ~60 s transport
             # execution watchdog, using measured per-step cost models:
@@ -611,7 +698,12 @@ class SweepEngine:
                 per_dev_nnz = nnz
                 if shard_nnz:
                     per_dev_nnz = -(-nnz // mesh.shape["shards"])
-                auto = int(2.5e8 / max(per_dev_nnz, 1))
+                if backend == "seg":
+                    # O(nnz) once per step (sort + masked sums), not
+                    # per candidate: ~5x the delta backends' budget
+                    auto = int(1.25e9 / max(per_dev_nnz, 1))
+                else:
+                    auto = int(2.5e8 / max(per_dev_nnz, 1))
             auto = max(64, min(1024, auto))
             steps_per_call = auto if sim.n_frags > auto else None
         self.steps_per_call = steps_per_call
@@ -661,7 +753,10 @@ class SweepEngine:
         self.sample_param = sample_param
         self.n_frags = sim.n_frags
         self.slice_capacity = slice_capacity
-        self.update_capacity = int(min(nnz, 2 * slice_capacity))
+        if backend == "seg":
+            self.update_capacity = int(self.seg_updcaps[1])
+        else:
+            self.update_capacity = int(min(nnz, 2 * slice_capacity))
         self.exact_overflow = exact_overflow
         self.wide_rows = wide_rows
         self.table = NeighbourTable.build(
@@ -986,6 +1081,7 @@ class SweepEngine:
         windowed = backend == "sliced"
         plain = backend == "plain"
         block = backend == "block"
+        seg = backend == "seg"
         bcap = self.block_capacity
         block_tri = self.block_tri
         if block and block_tri:
@@ -998,6 +1094,190 @@ class SweepEngine:
                 (_ti.astype(np.int64) * bcap + _tj).astype(np.int32)
             )
         ncp = self.n_frags + 1  # renumbered contig ids are < n_frags
+        if seg:
+            # sorted contig-pair index (see module docstring): pixels
+            # keyed by the ORDERED code row_contig*ncp_seg + col_contig
+            # (ordered, so the row side can come from the static-CSR
+            # cumsum expansion below with no canonicalization gather);
+            # ncp_seg leaves headroom for ids growing between the
+            # periodic label compactions; the sentinel parks
+            # shard-padding pixels past every reachable code
+            ncp_seg = self.n_frags + SEG_ID_SLACK
+            nnz_local = int(rows.shape[0])
+            seg_sentinel = np.int32(ncp_seg * ncp_seg - 1)
+            # Static row-segment index: the canonical COO is sorted by
+            # row, so per-pixel ROW contig labels never need a gather —
+            # scatter each row's label *delta* at its static segment
+            # start and cumsum (int32, exact). Measured on the dev TPU
+            # at ~1M nnz: 0.05 ms vs 3.2 ms for the equivalent gather
+            # (gathers are ~3-6 ns/row issue-bound; cumsum/sort/masked
+            # sums stream at HBM rate). Only the COL side pays one
+            # 1-lane gather per step.
+            row_expand_ok = False
+            if wmask is None:  # replicated: rows is a concrete array
+                r_host = np.asarray(rows)
+                row_expand_ok = bool(np.all(np.diff(r_host) >= 0))
+            # seg_fast: the steady-state no-O(nnz)-work layout —
+            # replicated pixels + row-sorted canonical COO. It carries
+            # ONE per-pixel cache: the scoring GEOMETRY (s, s_tot, s_z,
+            # s_tot_z, with s=0 encoding trans so the flat v_inter
+            # falls out of the curve's own s>0 gate), updated
+            # incrementally after accepted moves. Everything a
+            # candidate needs comes from bounded WINDOWS composed out
+            # of static CSR/CSC runs of the pair's member subs (all
+            # marginal sums + the both-in compaction), so per-step
+            # costs are O(window), not O(nnz) — the only O(nnz) op
+            # left is the nuisance MH's elementwise re-score, which is
+            # gather-free thanks to the geometry cache and evaluates
+            # the d_max / v_inter gates lazily under whatever params
+            # the eval uses. The shard_nnz layout keeps the sorted
+            # contig-pair-code variant (per-shard arrays).
+            seg_fast = row_expand_ok
+            if seg_fast:
+                # static CSR run index: pixels with row sub s are the
+                # contiguous id range [rowptr[s], rowptr[s+1]) of the
+                # canonical order, so "all pixels whose ROW endpoint is
+                # in the pair's member subs" is a union of STATIC runs
+                # — no sorted index, hence no per-step O(nnz log nnz)
+                # sort (XProf measured the sort at 54% of the step).
+                # Padded so ids==n_sub (member fill) reads a 0-run.
+                rowptr_np = np.searchsorted(
+                    r_host, np.arange(n_sub_total + 1)
+                ).astype(np.int32)
+                seg_rowptr = jnp.asarray(
+                    np.concatenate([rowptr_np, rowptr_np[-1:]])
+                )
+                # static CSC view: pixels grouped by col sub-fragment
+                # (ids into the canonical order via csc_pix), for the
+                # col-side windows
+                c_host = np.asarray(cols)
+                csc_order = np.lexsort((r_host, c_host))
+                seg_csc_pix = jnp.asarray(csc_order.astype(np.int32))
+                colptr_np = np.searchsorted(
+                    c_host[csc_order], np.arange(n_sub_total + 1)
+                ).astype(np.int32)
+                # pad so ids==n_sub (the member fill value) reads a
+                # zero-length run
+                seg_colptr = jnp.asarray(
+                    np.concatenate([colptr_np, colptr_np[-1:]])
+                )
+            mcap_seg = self.seg_mcap
+            seg_cap2 = self.seg_cap2
+            upd1 = self.seg_updcaps[0]
+            rcap1, rcap2 = (
+                self.seg_rowcaps
+                if self.seg_rowcaps is not None
+                else (0, 0)
+            )
+            seg_full_sentinel = (
+                np.int32(seg_cap2 + 1) if seg_cap2 else np.int32(0)
+            )
+
+        def _seg_members(sub_ci, a_i, b_i):
+            """Member sub-fragments of contigs {a_i, b_i}: sorted ids
+            (fill n_sub => zero-length runs) + exact count."""
+            mem = (sub_ci == a_i) | (sub_ci == b_i)
+            (ids,) = jnp.nonzero(
+                mem, size=mcap_seg, fill_value=n_sub_total
+            )
+            return ids, jnp.sum(mem)
+
+        def _seg_window(ptr, ids, capacity):
+            """Compose the members' static runs of `ptr` into one
+            O(capacity) position list (positions index the order `ptr`
+            describes: canonical ids for rowptr, CSC positions for
+            colptr). Returns (positions, valid f32 weights, count)."""
+            lo = ptr[ids]
+            lens = ptr[ids + 1] - lo
+            offs = jnp.cumsum(lens)
+            n_tot = offs[-1]
+            j = jnp.arange(capacity)
+            run = jnp.clip(
+                jnp.searchsorted(offs, j, side="right"), 0, mcap_seg - 1
+            )
+            prev = offs[run] - lens[run]
+            pos = jnp.clip(lo[run] + (j - prev), 0, nnz_local - 1)
+            w = (j < n_tot).astype(jnp.float32)
+            return pos, w, n_tot
+
+        def _seg_rowin(ids, capacity):
+            """All pixels whose ROW endpoint is a member sub (the run
+            positions ARE canonical pixel ids)."""
+            return _seg_window(seg_rowptr, ids, capacity)
+
+        def _seg_colin(ids, capacity):
+            """All pixels whose COL endpoint is a member sub: CSC runs
+            mapped back to canonical pixel ids."""
+            pos, w, n_tot = _seg_window(seg_colptr, ids, capacity)
+            return seg_csc_pix[pos], w, n_tot
+
+        def _g_of(dn, params):
+            """Flat trans score term, data-only (see delta_candidate)."""
+            v = jnp.asarray(params.v_inter)
+            return (
+                dn[..., 0] * jnp.log10(jnp.maximum(v, 1e-38))
+                - v
+                - dn[..., 1]
+                + v * LOG10_E
+            )
+
+        def _seg_bounds(seg_idx, a_i, b_i):
+            """Locate the four ordered contig-pair code segments (a,a)
+            (a,b) (b,a) (b,b) of the per-step sorted index: O(log nnz)
+            searchsorted. Returns (starts [4], lengths [4], total)."""
+            sorted_codes, _ = seg_idx
+            qaa = a_i * ncp_seg + a_i
+            qab = a_i * ncp_seg + b_i
+            qba = b_i * ncp_seg + a_i
+            qbb = b_i * ncp_seg + b_i
+            bounds = jnp.searchsorted(
+                sorted_codes,
+                jnp.stack(
+                    [qaa, qaa + 1, qab, qab + 1, qba, qba + 1,
+                     qbb, qbb + 1]
+                ),
+            )
+            same = a_i == b_i  # all four segments collapse onto (a,a)
+            l0 = bounds[1] - bounds[0]
+            l1 = jnp.where(same, 0, bounds[3] - bounds[2])
+            l2 = jnp.where(same, 0, bounds[5] - bounds[4])
+            l3 = jnp.where(same, 0, bounds[7] - bounds[6])
+            starts = jnp.stack(
+                [bounds[0], bounds[2], bounds[4], bounds[6]]
+            )
+            lens = jnp.stack([l0, l1, l2, l3])
+            return starts, lens, l0 + l1 + l2 + l3
+
+        def _seg_take(seg_idx, starts, lens, n_sel, capacity):
+            """Concatenate the located segments into one O(capacity)
+            pixel-id gather. Returns (pixel ids, valid-weight f32)."""
+            _, perm = seg_idx
+            j = jnp.arange(capacity)
+            c0 = lens[0]
+            c1 = c0 + lens[1]
+            c2 = c1 + lens[2]
+            pos = jnp.where(
+                j < c0,
+                starts[0] + j,
+                jnp.where(
+                    j < c1,
+                    starts[1] + (j - c0),
+                    jnp.where(
+                        j < c2,
+                        starts[2] + (j - c1),
+                        starts[3] + (j - c2),
+                    ),
+                ),
+            )
+            pos = jnp.clip(pos, 0, nnz_local - 1)
+            w = (j < n_sel).astype(jnp.float32)
+            return perm[pos], w
+
+        def _seg_segments(seg_idx, a_i, b_i, capacity):
+            """Pixel ids with both endpoints in contigs {a_i, b_i}."""
+            starts, lens, n_sel = _seg_bounds(seg_idx, a_i, b_i)
+            b_idx, w = _seg_take(seg_idx, starts, lens, n_sel, capacity)
+            return b_idx, w, n_sel
 
         def gen_candidate(ctx, pair):
             """The 24 mutated states + packed projections for one pair."""
@@ -1076,6 +1356,194 @@ class SweepEngine:
             # predicate (n_sel > cap) compares against the per-shard
             # capacity, and pmax makes it identical on every device
             return nz24, pmax(n_sel)
+
+        # --- seg backend: geometry cache + sorted-index compaction ---
+        def geom_from_rows(ra, ca):
+            """Per-pixel scoring geometry from packed endpoint rows:
+            (s_eff, s_tot, s_z_eff, s_tot_z), with s_eff = s_z_eff = 0
+            encoding a trans pixel — the Rippe forms' own s > 0 gate
+            then yields the flat v_inter, so cis/trans needs no extra
+            lane and d_max / v_inter gates evaluate lazily under
+            whatever params the eval uses (nuisance-safe)."""
+            cis = ra[..., 1] == ca[..., 1]
+            s = jnp.abs(ra[..., 0] - ca[..., 0])
+            s_z = jnp.abs(ra[..., 3] - ca[..., 3]) * msf
+            circ = ra[..., 2] > 0
+            s_tot = jnp.where(circ, ra[..., 2], 0.0)
+            s_tot_z = jnp.where(circ, ra[..., 4] * msf, 0.0)
+            return jnp.stack(
+                [
+                    jnp.where(cis, s, 0.0),
+                    s_tot,
+                    jnp.where(cis, s_z, 0.0),
+                    s_tot_z,
+                ],
+                axis=-1,
+            )
+
+        def pp_from_geom(geom_c, dn, params):
+            """Per-pixel scores from the geometry cache: pure
+            elementwise math, zero gathers — equal to pp_rows_fast on
+            the same endpoints (f32-exact: identical operations on the
+            stored operands)."""
+            ex, log_ex = expected_counts_with_log10(
+                geom_c[..., 0], geom_c[..., 1], params
+            )
+            ex_z = expected_counts_fast(
+                geom_c[..., 2], geom_c[..., 3], params
+            )
+            pp = dn[..., 0] * log_ex - ex - dn[..., 1] + ex_z * LOG10_E
+            return pp if wmask is None else pp * wmask
+
+        def seg_candidate(ctx, id_fB, packed24, seg_idx, capacity):
+            """The cis/trans-split delta with every O(nnz) pass removed.
+
+            seg_fast: ALL of a candidate's pixel interaction lives in
+            two bounded windows composed from the pair's member subs'
+            STATIC CSR/CSC runs — the row-in window (every pixel whose
+            row endpoint is a member) and the col-in window. Marginal
+            sums over the windows give the touch/single terms by
+            inclusion-exclusion (E_row + E_col − both), a window-sized
+            nonzero compacts the both-endpoint pixels, and the 24-way
+            rescore runs at the tight both-in capacity. Per-pixel
+            scores come from the carried geometry cache (ctx's pp slot)
+            so nothing is recomputed genome-wide. shard_nnz: the
+            per-step sorted contig-pair-code index with masked sums.
+            """
+            (state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
+             ll_nz_cur, id_fA, max_id, params) = ctx
+            a_i = state.id_c[id_fA]
+            b_i = state.id_c[id_fB]
+            if seg_fast:
+                rcap, bcap_ = capacity
+                geom_arr = pp_cur  # carried geometry cache
+                (sub_ci,) = seg_idx
+                ids, n_mem = _seg_members(sub_ci, a_i, b_i)
+                # row-in window
+                pix_r, w_r, n_row = _seg_rowin(ids, rcap)
+                dn_r = data_norm[pix_r]
+                pp_r = pp_from_geom(geom_arr[pix_r], dn_r, params)
+                g_r = _g_of(dn_r, params)
+                col_lab = sub_ci[cols[pix_r]]
+                both_w = ((col_lab == a_i) | (col_lab == b_i)) & (
+                    w_r > 0
+                )
+                bw_f = both_w.astype(jnp.float32)
+                e_row_pp = jnp.sum(pp_r * w_r)
+                e_row_g = jnp.sum(g_r * w_r)
+                both_pp = jnp.sum(pp_r * bw_f)
+                both_g = jnp.sum(g_r * bw_f)
+                # col-in window (marginals only)
+                pix_c, w_c, n_colw = _seg_colin(ids, rcap)
+                dn_c = data_norm[pix_c]
+                e_col_pp = jnp.sum(
+                    pp_from_geom(geom_arr[pix_c], dn_c, params) * w_c
+                )
+                e_col_g = jnp.sum(_g_of(dn_c, params) * w_c)
+                # inclusion-exclusion: every touch pixel appears once
+                # per endpoint-in-pair across the two windows
+                cur_slice = e_row_pp + e_col_pp - both_pp
+                g_single = (e_row_g + e_col_g - both_g) - both_g
+                # compact the both-in pixels out of the row window
+                (sel,) = jnp.nonzero(both_w, size=bcap_, fill_value=0)
+                n_both = jnp.sum(both_w)
+                w = (jnp.arange(bcap_) < n_both).astype(jnp.float32)
+                b_idx = pix_r[sel]
+                b_rows = rows[b_idx]
+                b_cols = cols[b_idx]
+                # report a value the tier/fallback predicates read:
+                # tier-2 when the both-in count or either window
+                # overflows tier 1, exact full pass past tier 2 or
+                # past the member capacity
+                need_t2 = (
+                    (n_both > cap)
+                    | (n_row > rcap1)
+                    | (n_colw > rcap1)
+                )
+                need_full = (
+                    (n_both > seg_cap2)
+                    | (n_row > rcap2)
+                    | (n_colw > rcap2)
+                    | (n_mem > mcap_seg)
+                )
+                n_sel = jnp.where(
+                    need_full,
+                    seg_full_sentinel,
+                    jnp.where(
+                        need_t2,
+                        jnp.maximum(n_both, jnp.int32(cap + 1)),
+                        n_both,
+                    ),
+                )
+            else:
+                cA = a_i.astype(jnp.float32)
+                cB = b_i.astype(jnp.float32)
+                row_in = (row_c == cA) | (row_c == cB)
+                col_in = (col_c == cA) | (col_c == cB)
+                touch = row_in | col_in
+                if wmask is not None:
+                    touch = touch & (wmask > 0)
+                both = touch & row_in & col_in
+                tmask = touch.astype(jnp.float32)
+                bmask = both.astype(jnp.float32)
+                cur_slice = psum(jnp.sum(pp_cur * tmask))
+                g_single = psum(jnp.sum(g_trans * (tmask - bmask)))
+                b_idx, w, n_sel = _seg_segments(
+                    seg_idx, a_i, b_i, capacity
+                )
+                b_rows = rows[b_idx]
+                b_cols = cols[b_idx]
+            b_dn = data_norm[b_idx]
+            ra = jnp.take(packed24, b_rows, axis=1)
+            ca = jnp.take(packed24, b_cols, axis=1)
+            pp24 = pp_rows_fast(ra, ca, b_dn[None, :, :], params, msf)
+            nz_both = jnp.sum(pp24 * w[None, :], axis=1)
+            nz24 = ll_nz_cur - cur_slice + g_single + psum(nz_both)
+            return nz24, pmax(n_sel)
+
+        def update_geom(new_packed, a_i, b_i, sub_ci, geom_c):
+            """Post-accept upkeep of the carried geometry cache.
+
+            Geometry changes exactly at the both-endpoint pixels of the
+            accepted pair — gathered from the members' static CSR runs
+            and col-filtered with the per-sub labels as of the step
+            (the mutation relabels only the pair's own fragments, so
+            pre-move labels identify the changed pixels exactly). The
+            update is a weighted-delta .add (padding aliases are
+            no-ops). Tiered window capacities with an exact
+            full-rebuild fallback."""
+            ids, n_mem = _seg_members(sub_ci, a_i, b_i)
+            n_upd = jnp.sum(seg_rowptr[ids + 1] - seg_rowptr[ids])
+
+            def geom_upd(capc):
+                pix, w0, _ = _seg_rowin(ids, capc)
+                col_lab = sub_ci[cols[pix]]
+                colin = (
+                    (col_lab == a_i) | (col_lab == b_i)
+                ).astype(jnp.float32)
+                w = w0 * colin
+                ra = new_packed[rows[pix]]
+                ca = new_packed[cols[pix]]
+                g_new = geom_from_rows(ra, ca)
+                g_old = geom_c[pix]
+                return geom_c.at[pix].add((g_new - g_old) * w[:, None])
+
+            geom_fast = jax.lax.cond(
+                n_upd > upd1,
+                lambda _: geom_upd(cap_upd),
+                lambda _: geom_upd(upd1),
+                None,
+            )
+            over = (n_upd > cap_upd) | (n_mem > mcap_seg)
+
+            def rebuild(_):
+                return geom_from_rows(
+                    new_packed[rows], new_packed[cols]
+                )
+
+            return jax.lax.cond(
+                over, rebuild, lambda _: geom_fast, None
+            )
 
         # --- candidate scoring: aggregate + dense block ---------------
         # Same cis/trans-split delta as delta_candidate but with ZERO
@@ -1195,12 +1663,43 @@ class SweepEngine:
                             ctx_l, bagg_l, b, pk
                         )
                     )(cand_l, packed)
+                elif seg:
+                    t1 = (rcap1, cap) if seg_fast else cap
+                    nz, n_sel = jax.vmap(
+                        lambda b, pk: seg_candidate(
+                            ctx_l, b, pk, bagg_l, t1
+                        )
+                    )(cand_l, packed)
                 else:
                     nz, n_sel = jax.vmap(
                         lambda b, pk: delta_candidate(ctx_l, b, pk)
                     )(cand_l, packed)
 
                 prm = ctx_l[-1]
+                if seg and exact_overflow and seg_cap2 > cap:
+                    # tier-2 rescore: candidates past the common-case
+                    # capacity re-run through the same segment gather
+                    # at the data-driven worst-pair bound — a rare
+                    # lax.cond branch, so the big gathers cost nothing
+                    # on the common path. Anything past tier 2 falls
+                    # through to the exact full-matrix pass below.
+                    over1 = n_sel > cap
+
+                    def tier2_fn(_):
+                        t2 = (
+                            (rcap2, seg_cap2) if seg_fast else seg_cap2
+                        )
+                        nz2, _ = jax.vmap(
+                            lambda b, pk: seg_candidate(
+                                ctx_l, b, pk, bagg_l, t2
+                            )
+                        )(cand_l, packed)
+                        return nz2
+
+                    nz_t2 = jax.lax.cond(
+                        jnp.any(over1), tier2_fn, lambda _: nz, None
+                    )
+                    nz = jnp.where(over1[:, None], nz_t2, nz)
                 if exact_overflow and not plain:
                     # one exact full-matrix pass for the whole
                     # candidate batch when any slice overflows; its
@@ -1208,8 +1707,14 @@ class SweepEngine:
                     # Aggregating the predicate over candidates keeps
                     # this a real branch in the scan and an exact
                     # select under vmap. (In block mode the capacity is
-                    # in member sub-fragments, not pixels.)
-                    over = n_sel > (bcap if block else cap)
+                    # in member sub-fragments, not pixels; in seg mode
+                    # only candidates past tier 2 reach the full pass.)
+                    if block:
+                        over = n_sel > bcap
+                    elif seg and seg_cap2 > cap:
+                        over = n_sel > seg_cap2
+                    else:
+                        over = n_sel > cap
 
                     # the fallback is SERIALIZED over candidates and
                     # mutations (lax.map, not vmap): a vmapped exact
@@ -1303,28 +1808,49 @@ class SweepEngine:
         # --- exact incremental pp_cur update after an accepted move --
         def update_pp(
             new_packed, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
-            params,
+            params, seg_idx=None,
         ):
             """Re-score exactly the pixels whose pp can change under the
             accepted move — those with BOTH endpoints in the affected
             contigs (old labels): single-endpoint pixels are trans both
             before and after, so their term is untouched (see
             delta_candidate). Full-recompute fallback when the update
-            set overflows."""
-            row_in = (row_c == cA) | (row_c == cB)
-            col_in = (col_c == cA) | (col_c == cB)
-            touch = row_in & col_in
-            if wmask is not None:
-                touch = touch & (wmask > 0)
-            (upd_idx,) = jnp.nonzero(touch, size=cap_upd, fill_value=0)
-            n_upd = jnp.sum(touch)
-            w = (jnp.arange(cap_upd) < n_upd).astype(jnp.float32)
+            set overflows. The seg backend reuses the step's sorted
+            contig-pair index (built from the same old labels) instead
+            of the jnp.nonzero compaction."""
+            if seg_idx is not None:
+                upd_idx, w, n_upd = _seg_segments(
+                    seg_idx,
+                    cA.astype(jnp.int32),
+                    cB.astype(jnp.int32),
+                    cap_upd,
+                )
+            else:
+                row_in = (row_c == cA) | (row_c == cB)
+                col_in = (col_c == cA) | (col_c == cB)
+                touch = row_in & col_in
+                if wmask is not None:
+                    touch = touch & (wmask > 0)
+                (upd_idx,) = jnp.nonzero(
+                    touch, size=cap_upd, fill_value=0
+                )
+                n_upd = jnp.sum(touch)
+                w = (jnp.arange(cap_upd) < n_upd).astype(jnp.float32)
             ra = new_packed[rows[upd_idx]]
             ca = new_packed[cols[upd_idx]]
             pp_new = pp_rows_fast(ra, ca, data_norm[upd_idx], params, msf)
             old_vals = pp_cur[upd_idx]
-            merged = jnp.where(w > 0, pp_new, old_vals)
-            pp_fast = pp_cur.at[upd_idx].set(merged)
+            if seg_idx is not None:
+                # clipped padding positions can alias a real updated
+                # pixel (segment ending at the array tail), so a .set
+                # with duplicate indices would be nondeterministic;
+                # the weighted-delta .add makes padding a true no-op
+                pp_fast = pp_cur.at[upd_idx].add(
+                    (pp_new - old_vals) * w
+                )
+            else:
+                merged = jnp.where(w > 0, pp_new, old_vals)
+                pp_fast = pp_cur.at[upd_idx].set(merged)
             ll_fast = ll_nz_cur + psum(jnp.sum((pp_new - old_vals) * w))
 
             def recompute(_):
@@ -1457,6 +1983,50 @@ class SweepEngine:
                 z = jnp.zeros(())
                 row_c = col_c = row_p = col_p = g_trans = z
                 bagg = ()
+            elif seg:
+                sub_ci = packed_cur[:, 1].astype(jnp.int32)
+                z = jnp.zeros(())
+                if seg_fast:
+                    # nothing per-step to build at all: candidates pull
+                    # everything from bounded member-run windows + the
+                    # carried geometry cache (ctx's pp slot) and the
+                    # carried nz total. No per-pixel labels, no sort,
+                    # no O(nnz) masked sums.
+                    geom_c = pp_cur
+                    pp_arr = geom_c
+                    row_c = col_c = row_p = col_p = g_trans = z
+                    bagg = (sub_ci,)
+                else:
+                    # shard layout: per-shard label gathers + a sorted
+                    # contig-pair-code index shared by all candidates
+                    # and the post-accept cache update — one per-shard
+                    # O(nnz log nnz) sort replaces n_cand + 1
+                    # jnp.nonzero compactions
+                    row_ci = sub_ci[rows]
+                    col_ci = sub_ci[cols]
+                    pp_arr = pp_cur
+                    row_c = row_ci.astype(jnp.float32)
+                    col_c = col_ci.astype(jnp.float32)
+                    row_p = col_p = z
+                    v = jnp.asarray(params.v_inter)
+                    g_trans = (
+                        data_norm[:, 0]
+                        * jnp.log10(jnp.maximum(v, 1e-38))
+                        - v
+                        - data_norm[:, 1]
+                        + v * LOG10_E
+                    )
+                    if wmask is not None:
+                        g_trans = g_trans * wmask
+                    codes = row_ci * np.int32(ncp_seg) + col_ci
+                    if wmask is not None:
+                        codes = jnp.where(
+                            wmask > 0, codes, seg_sentinel
+                        )
+                    sorted_codes, perm = jax.lax.sort_key_val(
+                        codes, jnp.arange(nnz_local, dtype=jnp.int32)
+                    )
+                    bagg = (sorted_codes, perm)
             else:
                 # only the contig-id and position lanes are needed per
                 # pixel-endpoint: gather 8-byte (id_c, pos) rows, not
@@ -1483,7 +2053,8 @@ class SweepEngine:
             )
             first = jnp.arange(n_cand) == 0
             ctx = (
-                state, row_c, col_c, row_p, col_p, g_trans, pp_cur,
+                state, row_c, col_c, row_p, col_p, g_trans,
+                pp_arr if seg else pp_cur,
                 ll_nz_cur, id_fA, max_id, params,
             )
             stacked, packed_c, scores, nz_c, n_sel = score_all(
@@ -1518,10 +2089,31 @@ class SweepEngine:
                 # the exact dense re-score so truncation can only
                 # affect the argmax, never the likelihood trajectory
                 ll_nz_cur = jnp.sum(pp_dense_all(new_pad, params))
+            elif seg and seg_fast:
+                # the chosen candidate's nz row is exact (tier-2 +
+                # full-pass overflow handling), and the carried cache
+                # is geometry, not scores: update it at the accepted
+                # pair's pixels and move on. The delta-chained nz total
+                # is refreshed from the cache on every nuisance step
+                # (and per-cycle by init_cache), bounding f32 drift.
+                geom_c = update_geom(
+                    new_packed, state.id_c[id_fA], state.id_c[id_fB],
+                    sub_ci, geom_c,
+                )
+                pp_cur = geom_c
+                if exact_overflow:
+                    ll_nz_cur = nz_c[cand_i, op]
+                else:
+                    # truncating mode: derive the exact total from the
+                    # (always exact) geometry cache so truncation can
+                    # only affect the argmax
+                    ll_nz_cur = jnp.sum(
+                        pp_from_geom(geom_c, data_norm, params)
+                    )
             else:
                 pp_cur, ll_nz_cur = update_pp(
                     new_packed, row_c, col_c, cA, cB, pp_cur, ll_nz_cur,
-                    params,
+                    params, bagg if seg else None,
                 )
 
             # carried likelihood comes from the exactly-updated pixel
@@ -1578,6 +2170,50 @@ class SweepEngine:
                 params, ll_t, ll_nz_cur, accepted = jax.lax.cond(
                     do_nuis, with_nuis, without_nuis, None
                 )
+            elif seg and seg_fast:
+                # nuisance MH straight off the geometry cache: a
+                # param-only proposal re-scores every pixel with pure
+                # elementwise math (geometry is invariant; the d_max /
+                # v_inter gates evaluate under the proposal), replacing
+                # the gather-based full-matrix pass — measured ~8 ms ->
+                # ~0.5 ms per step at yeast L2 (1M nnz). The same pass
+                # also re-derives the CURRENT-params total, refreshing
+                # the delta-chained nz carry (f32 drift correction).
+                def with_nuis(_):
+                    test, k_acc = propose_nuisance(k_nuis, params)
+                    nz_test = jnp.sum(
+                        pp_from_geom(geom_c, data_norm, test)
+                    )
+                    nz_fresh = jnp.sum(
+                        pp_from_geom(geom_c, data_norm, params)
+                    )
+                    zeros_cur = zeros_packed_fast(
+                        new_packed, params, msf, n_pix
+                    )
+                    ll_base = nz_fresh + zeros_cur
+                    ll_test = nz_test + zeros_packed_fast(
+                        new_packed, test, msf, n_pix
+                    )
+                    accept = jnp.exp(
+                        jnp.clip(ll_test - ll_base, -50.0, 50.0)
+                    ) >= jax.random.uniform(k_acc, ())
+                    out_params = jax.tree.map(
+                        lambda a, b: jnp.where(accept, a, b), test,
+                        params,
+                    )
+                    return (
+                        out_params,
+                        jnp.where(accept, ll_test, ll_base),
+                        jnp.where(accept, nz_test, nz_fresh),
+                        accept,
+                    )
+
+                def without_nuis(_):
+                    return params, ll_t, ll_nz_cur, jnp.asarray(False)
+
+                params, ll_t, ll_nz_cur, accepted = jax.lax.cond(
+                    do_nuis, with_nuis, without_nuis, None
+                )
             else:
 
                 def with_nuis(_):
@@ -1621,6 +2257,13 @@ class SweepEngine:
                 # matrix inside every step, plain re-scores all pixels
                 # per candidate anyway
                 return jnp.zeros((1,), jnp.float32), jnp.float32(0.0)
+            if seg and seg_fast:
+                # geometry cache: the only O(nnz) gathers of the whole
+                # cycle happen here, once
+                packed0 = project_packed(state, idx)
+                geom0 = geom_from_rows(packed0[rows], packed0[cols])
+                nz0 = jnp.sum(pp_from_geom(geom0, data_norm, params))
+                return geom0, nz0
             # fresh per-pixel cache each cycle (bounds drift)
             packed0 = project_packed(state, idx)
             pp0 = _pp_all(packed0, params)

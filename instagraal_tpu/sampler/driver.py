@@ -362,13 +362,42 @@ class Scaffolder:
                     "" if c_axis == C
                     else f"; {C} chains batched per chains-row",
                 )
-            elif n_dev % C == 0:
-                # replicated chains: one chain per device on a (C, 1)
-                # mesh — a (C, n/C) mesh would re-run each chain
-                # redundantly on every shards-column device
+            elif n_dev % C == 0 and n_dev > C:
+                # fill the whole machine by default: a (C, n_dev/C)
+                # mesh where each chains-row holds one chain and its
+                # shards-columns split that chain's contact matrix —
+                # a bare (C, 1) layout would idle n_dev - C chips
+                mesh = make_mesh(chains=C)
+                engine_kw = {"mesh": mesh, "shard_nnz": True}
+                logger.info(
+                    "mesh %s: %d chains x %d pixel shards per chain "
+                    "— every device holds one chain replica and one "
+                    "pixel shard",
+                    dict(mesh.shape), C, n_dev // C,
+                )
+            elif n_dev == C:
+                # one chain per device on a (C, 1) mesh
                 mesh = make_mesh(n_devices=C, chains=C)
                 logger.info(
                     "chains sharded over mesh %s", dict(mesh.shape)
+                )
+            elif C % n_dev == 0:
+                # more chains than devices: C/n_dev chains batched on
+                # each device of a (n_dev, 1) mesh — still full
+                mesh = make_mesh(chains=n_dev)
+                logger.info(
+                    "mesh %s: %d chains batched per device",
+                    dict(mesh.shape), C // n_dev,
+                )
+            else:
+                raise ValueError(
+                    f"--chains {C} neither divides nor is divisible "
+                    f"by the {n_dev} visible devices — part of the "
+                    f"machine would sit idle or chains would silently "
+                    f"serialize; pick a chain count that divides "
+                    f"{n_dev} (or a multiple of it), or pass "
+                    f"--shard-nnz to keep the contact matrix sharded "
+                    f"over all devices with the chains batched locally"
                 )
         elif self.shard_nnz:
             logger.warning(

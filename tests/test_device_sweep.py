@@ -1003,6 +1003,58 @@ class TestChainsShardNnz:
         assert chain_lls.shape[0] == 3
         assert np.isfinite(chain_lls[:, 1]).all()
 
+    def test_driver_chains_fill_mesh_by_default(
+        self, toy_pre, tmp_path_factory, caplog
+    ):
+        """--chains 2 on 8 devices WITHOUT --shard-nnz must not idle 6
+        chips: the driver builds the composed (2, 4) mesh with the
+        contact matrix sharded inside each chains-row, every device
+        holds one chain replica plus one distinct pixel shard, and the
+        log states the layout."""
+        import logging
+
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("chains_fill")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=0, size_pyramid=4,
+            chains=2,  # note: shard_nnz NOT requested
+        )
+        with caplog.at_level(logging.INFO, logger="instagraal_tpu"):
+            scaf.full_em(n_cycles=1, bomb=True)
+        eng = scaf._sweep_engine
+        assert eng.shard_nnz
+        assert eng.mesh.shape == {"chains": 2, "shards": 4}
+        # every one of the 8 devices holds a pixel shard (the chains
+        # axis replicates the pixel slices across its 2 rows, so all
+        # 8 devices participate)
+        rows_s = eng._pix_sharded[0]
+        assert len({s.device for s in rows_s.addressable_shards}) == 8
+        assert any(
+            "pixel shard" in rec.message for rec in caplog.records
+        )
+        chain_lls = np.loadtxt(
+            scaf.out / "list_chain_likelihoods.txt", skiprows=1
+        ).reshape(-1, 3)
+        assert chain_lls.shape[0] == 2
+        assert np.isfinite(chain_lls[:, 1]).all()
+
+    def test_driver_rejects_unfillable_chain_count(
+        self, toy_pre, tmp_path_factory
+    ):
+        """A chain count that neither divides nor is divisible by the
+        device count must error loudly (never silently serialize)."""
+        from instagraal_tpu.sampler import Scaffolder
+
+        out = tmp_path_factory.mktemp("chains_bad")
+        scaf = Scaffolder(
+            "toy", toy_pre["dir"], toy_pre["fasta"], level=2,
+            output_folder=out, seed=0, size_pyramid=4, chains=3,
+        )
+        with pytest.raises(ValueError, match="chains 3"):
+            scaf.full_em(n_cycles=1, bomb=True)
+
     def test_driver_chains_shard_nnz_resume(
         self, toy_pre, tmp_path_factory
     ):
