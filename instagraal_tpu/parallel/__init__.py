@@ -8,7 +8,9 @@ introduces two first-class parallel axes over a `jax.sharding.Mesh`:
   merges them with psum over ICI (replacing the reference's single-device
   atomicAdd trees).
 - "chains": independent MCMC chains (and the candidate-mutation batch),
-  data-parallel across devices.
+  data-parallel across devices. The chains engine is
+  `sampler.device_sweep.MultiChainSweep`, driven by
+  `Scaffolder(chains=C)` / `instagraal --chains`.
 
 Multi-host runs initialize jax.distributed and use the same mesh over
 the global device set; all code here is expressed with NamedSharding +
@@ -17,4 +19,3 @@ jit so XLA inserts the collectives.
 
 from .mesh import make_mesh, shard_coo, replicate  # noqa: F401
 from .likelihood import make_sharded_likelihood  # noqa: F401
-from .chains import MultiChainSampler  # noqa: F401

@@ -321,7 +321,7 @@ def synthetic_problem(
 class SyntheticSim:
     """Simulation facade over synthetic_problem() for benchmarks/dryruns.
 
-    Provides the attribute surface that SweepEngine and MultiChainSampler
+    Provides the attribute surface that SweepEngine and the host Sampler
     need, without any disk IO.
     """
 

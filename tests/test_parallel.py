@@ -5,11 +5,7 @@ import numpy as np
 import pytest
 
 from instagraal_tpu.model.likelihood import genome_log_likelihood
-from instagraal_tpu.parallel import (
-    MultiChainSampler,
-    make_mesh,
-    make_sharded_likelihood,
-)
+from instagraal_tpu.parallel import make_mesh, make_sharded_likelihood
 from instagraal_tpu.testing import synthetic_problem
 
 
@@ -89,62 +85,76 @@ class TestShardedLikelihood:
 
 
 class TestMultiChain:
-    def _sim(self, p):
-        class _Sim:
-            state = p["state"]
-            sub_index = p["sub_index"]
-            coo_rows = p["rows"]
-            coo_cols = p["cols"]
-            coo_data = p["data"]
-            mean_size_frag_kb = p["mean_size_frag_kb"]
-            n_pix_total = p["n_pix_total"]
-            n_frags = p["n_frags"]
-            distri_frags = [
-                {"xk": None, "pk": None} for _ in range(p["n_frags"])
-            ]
+    """The PRODUCT multi-chain engine (MultiChainSweep, driven by
+    `instagraal --chains`) on the mesh — these sharding-equivalence
+    checks were originally written against the deleted
+    MultiChainSampler reference engine (round-2 consolidation)."""
 
-        return _Sim()
+    def _engine(self, seed=0):
+        from instagraal_tpu.sampler.device_sweep import SweepEngine
+        from instagraal_tpu.testing import SyntheticSim
 
-    def test_step_advances_all_chains(self, problem):
-        mesh = make_mesh(n_devices=8, chains=4)
-        sampler = MultiChainSampler(
-            self._sim(problem), problem["params"], mesh, n_chains=4,
-            n_neighbours=3, seed=0,
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        eng = SweepEngine(
+            ssim, backend="full", sample_param=True, n_neighbours=3
         )
-        lls0 = sampler.likelihoods()
-        assert lls0.shape == (4,)
-        info = sampler.step()
-        assert info["likelihood"].shape == (4,)
-        assert np.isfinite(info["likelihood"]).all()
-        # accepted move likelihood >= pre-step likelihood (greedy argmax
-        # includes near-identity ops)
-        assert (info["likelihood"] >= lls0 - 1e-3).all()
+        return ssim, eng
 
-    def test_chains_diverge(self, problem):
-        mesh = make_mesh(n_devices=8, chains=4)
-        sampler = MultiChainSampler(
-            self._sim(problem), problem["params"], mesh, n_chains=4,
-            n_neighbours=3, seed=1,
+    def test_cycle_advances_all_chains(self):
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        ssim, eng = self._engine()
+        mesh = make_mesh(n_devices=4, chains=4)
+        ms = MultiChainSweep(eng, mesh=mesh, n_chains=4)
+        ll0 = eng.initial_ll(ssim.state, ssim.params)
+        lls = np.full(4, ll0)
+        st = ms.broadcast_state(ssim.state)
+        pa = ms.broadcast_params(ssim.params)
+        st, pa, lls1, tr = ms.run_cycle(
+            st, pa, lls, jax.random.PRNGKey(0)
         )
-        for _ in range(5):
-            sampler.step()
-        states = sampler.states
-        id_cs = np.asarray(states.id_c)
-        # different chains should have explored different genomes
+        assert lls1.shape == (4,)
+        assert np.isfinite(lls1).all()
+        # greedy accept: every chain's likelihood is non-decreasing
+        # within numerical noise over a full cycle
+        assert (lls1 >= ll0 - 1.0).all()
+        assert tr["likelihood"].shape == (4, ssim.n_frags)
+
+    def test_chains_diverge(self):
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        ssim, eng = self._engine()
+        mesh = make_mesh(n_devices=4, chains=4)
+        ms = MultiChainSweep(eng, mesh=mesh, n_chains=4)
+        ll0 = eng.initial_ll(ssim.state, ssim.params)
+        lls = np.full(4, ll0)
+        st = ms.broadcast_state(ssim.state)
+        pa = ms.broadcast_params(ssim.params)
+        st, pa, lls, _ = ms.run_cycle(
+            st, pa, lls, jax.random.PRNGKey(1)
+        )
+        id_cs = np.asarray(st.id_c)
+        # independent PRNG streams: chains explore different genomes
         assert not all(
             (id_cs[0] == id_cs[c]).all() for c in range(1, 4)
         )
 
-    def test_best_state(self, problem):
-        mesh = make_mesh(n_devices=8, chains=2)
-        sampler = MultiChainSampler(
-            self._sim(problem), problem["params"], mesh, n_chains=2,
-            n_neighbours=3, seed=2,
+    def test_best_state(self):
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        ssim, eng = self._engine()
+        mesh = make_mesh(n_devices=2, chains=2)
+        ms = MultiChainSweep(eng, mesh=mesh, n_chains=2)
+        ll0 = eng.initial_ll(ssim.state, ssim.params)
+        lls = np.full(2, ll0)
+        st = ms.broadcast_state(ssim.state)
+        pa = ms.broadcast_params(ssim.params)
+        st, pa, lls, _ = ms.run_cycle(
+            st, pa, lls, jax.random.PRNGKey(2)
         )
-        sampler.step()
-        state, ll = sampler.best_state()
-        assert state.pos.shape == (problem["n_frags"],)
-        assert ll == pytest.approx(max(sampler.likelihoods()), rel=1e-6)
+        state, ll = ms.best(st, lls)
+        assert state.pos.shape == (ssim.n_frags,)
+        assert ll == pytest.approx(max(lls), rel=1e-6)
 
 
 class TestGraftEntry:
