@@ -828,7 +828,9 @@ def get_bounds(state: FragState, id_f_pop, id_f_ins, list_bounds):
     return valid.astype(jnp.int32), f_up.astype(jnp.int32), f_down.astype(jnp.int32)
 
 
-def extract_block(state: FragState, id_f_cut_a, id_f_cut_b, upstream, max_id) -> FragState:
+def extract_block(
+    state: FragState, id_f_cut_a, id_f_cut_b, upstream, max_id
+) -> FragState:
     """Excise the block between two fragments into contig max_id+1
     (kernel :2400). upstream=1: block = [cut_b .. cut_a]; upstream=0:
     block = [cut_a .. cut_b]. id_f_cut_b == -1 leaves state unchanged.

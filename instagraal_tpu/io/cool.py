@@ -154,7 +154,10 @@ def write_mcool(
         f.attrs["format-version"] = 2
         f.create_group("resolutions")
     for res, (bins, pixels) in sorted(resolutions.items()):
-        _write_cool_group(path, f"/resolutions/{res}", bins, pixels, chromsizes, assembly, res)
+        _write_cool_group(
+            path, f"/resolutions/{res}", bins, pixels, chromsizes,
+            assembly, res,
+        )
 
 
 def _write_cool_group(path, group, bins, pixels, chromsizes, assembly, bin_size):

@@ -71,7 +71,9 @@ def read_info_contigs(path: str | pathlib.Path) -> pd.DataFrame:
     return pd.read_csv(path, sep="\t")
 
 
-def read_abs_contacts(path: str | pathlib.Path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def read_abs_contacts(
+    path: str | pathlib.Path,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Read an abs contacts file (either header flavour) into COO arrays.
 
     Returns (rows, cols, counts) int64 arrays. Works for both the pre

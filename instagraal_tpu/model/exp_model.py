@@ -37,7 +37,9 @@ class ExpParams(NamedTuple):
 
     @classmethod
     def make(cls, d0, d_max, alpha_0, alpha_1, fact, v_inter):
-        return cls(*[np.float32(v) for v in (d0, d_max, alpha_0, alpha_1, fact, v_inter)])
+        return cls(
+            *[np.float32(v) for v in (d0, d_max, alpha_0, alpha_1, fact, v_inter)]
+        )
 
 
 def peval(x, param):

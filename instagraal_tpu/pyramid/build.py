@@ -513,7 +513,6 @@ def build(
                 "frags": p("fragments_list"),
                 "contacts": p("abs_frag_contacts"),
             }
-            sub2super = p("sub_2_super_index_frag")
             if level == 0:
                 if not files["frags"].exists():
                     shutil.copyfile(current["contigs"], files["contigs"])

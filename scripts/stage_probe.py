@@ -227,7 +227,10 @@ def main():
     def nuis_geom(geom):
         s = geom[:, 0] * 1000.0
         s_tot = geom[:, 1]
-        from instagraal_tpu.model.rippe import expected_counts_with_log10, expected_counts_fast
+        from instagraal_tpu.model.rippe import (
+            expected_counts_fast,
+            expected_counts_with_log10,
+        )
         ex, log_ex = expected_counts_with_log10(s, s_tot, p)
         ex_z = expected_counts_fast(geom[:, 2], geom[:, 3], p)
         from instagraal_tpu.model.likelihood import LOG10_E

@@ -1,6 +1,5 @@
 """CLI tests using click's CliRunner (mirrors the reference's CLI suite)."""
 
-import pathlib
 from unittest import mock
 
 import pytest

@@ -7,7 +7,6 @@ with restart from cache) and #4 (circular mode).
 """
 
 import numpy as np
-import pytest
 
 
 class TestMultiEnzymeRestart:

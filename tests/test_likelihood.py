@@ -4,7 +4,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from instagraal_tpu.core import FragState
 from instagraal_tpu.model import (
     RippeParams,
     estimate_max_dist_intra,

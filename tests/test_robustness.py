@@ -3,10 +3,9 @@
 import gzip
 
 import pandas as pd
-import pytest
 
 from instagraal_tpu.io.digest import digest_genome
-from instagraal_tpu.io.fasta import read_fasta, write_fasta
+from instagraal_tpu.io.fasta import read_fasta
 from instagraal_tpu.io.pairs import pairs_to_pixels
 
 

@@ -2,7 +2,6 @@
 
 import gzip
 
-import numpy as np
 import pytest
 
 from instagraal_tpu.io.fasta import write_fasta
@@ -15,7 +14,6 @@ from instagraal_tpu.stats import (
 
 
 def make_fasta(tmp_path, lengths, name="a.fa", gc=0.5):
-    rng = np.random.default_rng(0)
     records = {}
     for i, ln in enumerate(lengths):
         n_gc = int(ln * gc)
