@@ -152,9 +152,10 @@ from ..log import set_level
     default=None,
     type=int,
     help=(
-        "Max sweep steps per device call (default: auto, 1024 on "
-        "fine levels). Bit-identical to a single-call cycle; bounds "
-        "per-call wall time on transports with execution watchdogs."
+        "Max sweep steps per device call (default: auto — sized by "
+        "a cost model, then calibrated on a timed probe chunk). "
+        "Bit-identical to a single-call cycle; bounds per-call wall "
+        "time on transports with execution watchdogs."
     ),
 )
 @click.option(

@@ -533,7 +533,11 @@ class SweepEngine:
         past a wall-time budget — the tunneled TPU used for
         development faults runs >~60 s, which a fine-level cycle
         (thousands of fragments x ~10 ms) exceeds. None = whole cycle
-        in one call. Composes with shard_nnz (the cache shard stays
+        in one call. "auto" (default) = size calls from a per-backend
+        cost model, then calibrate against a timed probe chunk on the
+        first TPU cycle (calibrate_steps_per_call) so the sizing
+        tracks the actual hardware; "model" = the cost model alone
+        (no probe). Composes with shard_nnz (the cache shard stays
         resident per device between calls).
 
         exact_overflow: when True (default), any candidate whose
@@ -670,7 +674,7 @@ class SweepEngine:
             # compaction first composes the pair's member CSR runs
             # (ALL pixels whose row endpoint is a member — ~1/cis-frac
             # larger than both-in) into a window, then compacts the
-            # col-in pixels из it with a cheap window-sized nonzero
+            # col-in pixels from it with a cheap window-sized nonzero
             self.seg_rowcaps = (
                 int(min(nnz, max(4096, 4 * tier1))),
                 int(min(nnz, 4 * max(4 * tier1, tier2))),
@@ -683,15 +687,21 @@ class SweepEngine:
             self.seg_mcap = int(
                 min(n_sub_total + 1, max(256, n_sub_total // 4))
             )
-        if steps_per_call == "auto":
+        self._spc_mode = "fixed"
+        self._spc_model = None
+        if steps_per_call in ("auto", "model"):
             # bound a device call to ~20-30 s under the ~60 s transport
-            # execution watchdog, using measured per-step cost models:
-            # delta backends are per-candidate O(nnz) (~18 ns/pixel/
-            # candidate at yeast L2 => ~2.5e8 pixel-steps per call);
-            # the block backend is O((n_sub+1)^2) dense-grid bound
-            # (~2e10 cell-steps per call). Negligible dispatch overhead
-            # either way. Under shard_nnz the per-call pixel work is
-            # divided across the mesh, so the budget scales up with it.
+            # execution watchdog. The cost model below provides the
+            # provisional value (its constants were measured on one
+            # v5e chip generation — ~18 ns/pixel/candidate for the
+            # delta backends at yeast L2, O((n_sub+1)^2) dense-grid
+            # cells for block); "auto" then *calibrates* it against a
+            # timed probe chunk on the first chunked run_cycle, so
+            # other hardware gets a measured size rather than a stale
+            # constant (calibrate_steps_per_call). "model" keeps the
+            # constants-only behaviour. Under shard_nnz the per-call
+            # pixel work is divided across the mesh, so the budget
+            # scales up with it.
             if backend == "block":
                 auto = int(2e10 / max((n_sub_total + 1) ** 2, 1))
             else:
@@ -705,6 +715,9 @@ class SweepEngine:
                 else:
                     auto = int(2.5e8 / max(per_dev_nnz, 1))
             auto = max(64, min(1024, auto))
+            if steps_per_call == "auto":
+                self._spc_mode = "auto"
+                self._spc_model = auto
             steps_per_call = auto if sim.n_frags > auto else None
         self.steps_per_call = steps_per_call
         if block_capacity == "auto":
@@ -1583,7 +1596,9 @@ class SweepEngine:
             )
             Xa = jnp.take(XU, a, axis=2)  # [2, S+1]
             Xb = jnp.take(XU, b, axis=2)
-            dot = lambda u, m: jnp.einsum("xs,s->x", u, m, precision=prec)
+            dot = lambda u, m: jnp.einsum(  # noqa: E731
+                "xs,s->x", u, m, precision=prec
+            )
             both = dot(Xa, ma) + diff * (
                 dot(Xb, ma) + dot(Xa, mb) + dot(Xb, mb)
             )
@@ -1646,8 +1661,6 @@ class SweepEngine:
             mesh the overflow rescore cond runs per shard (only shards
             whose local candidates overflow pay the exact pass).
             """
-            params = ctx[-1]
-
             def local(cand_l, first_l, ctx_l, bagg_l):
                 stacked, packed, valid = jax.vmap(
                     lambda b, f: gen_candidate(ctx_l, (b, f))
@@ -2307,6 +2320,72 @@ class SweepEngine:
         return cycle_fn, initial_fn, chunk_fn, init_cache
 
     # ------------------------------------------------------------------
+    def calibrate_steps_per_call(
+        self,
+        state: FragState,
+        params: RippeParams,
+        *,
+        local_batch: int = 1,
+        probe_steps: int = 16,
+        target_s: float = 20.0,
+    ) -> int | None:
+        """Resize the auto steps_per_call from a timed probe chunk.
+
+        The constructor's cost model uses constants measured on one
+        chip generation; this probes the actual hardware instead: run
+        a probe_steps-long chunk twice on the real inputs (the first
+        call compiles, the second is timed), derive the steps that fit
+        a ~target_s device call, and install that for subsequent
+        calls. The probe is functionally pure — its outputs are
+        discarded — and chunk size never changes the trajectory (the
+        chunked cycle is bit-identical to the single-call cycle by
+        construction), so calibration only moves wall-time boundaries.
+
+        local_batch: chains each device advances per call in a
+        chain-batched layout — per-call cost scales with it, so the
+        step budget is divided accordingly.
+
+        No-op (returns the current value) unless the engine was built
+        with steps_per_call="auto" and chunking is active; runs at
+        most once per engine. steps_per_call="model" keeps the
+        constants-only sizing.
+        """
+        if self._spc_mode != "auto" or self.steps_per_call is None:
+            return self.steps_per_call
+        self._spc_mode = "calibrated"
+        import logging
+        import time
+
+        n = self.n_frags
+        k = int(min(probe_steps, n))
+        k_perm, k_steps = jax.random.split(jax.random.PRNGKey(0))
+        order = jax.random.permutation(k_perm, n).astype(jnp.int32)[:k]
+        keys = jax.random.split(k_steps, n)[:k]
+        flags = np.ones(k, dtype=bool)  # nuisance MH on: worst case
+        params = jax.tree.map(jnp.asarray, params)
+        pp, nz = self._init_cache(state, params)
+        args = (
+            state, params, jnp.float32(0.0), pp, nz, order, keys, flags,
+        )
+        jax.block_until_ready(self._run_chunk(*args))  # compile + run
+        t0 = time.perf_counter()
+        jax.block_until_ready(self._run_chunk(*args))
+        per_step = (
+            (time.perf_counter() - t0) / k * max(int(local_batch), 1)
+        )
+        measured = max(
+            64, min(1024, int(target_s / max(per_step, 1e-9)))
+        )
+        spc = measured if n > measured else None
+        logging.getLogger("instagraal_tpu").info(
+            "steps_per_call calibrated: cost model said %s, probe "
+            "measured %.2f ms/step (x%d local chains) -> %s",
+            self._spc_model, per_step * 1e3, local_batch, spc,
+        )
+        self.steps_per_call = spc
+        return spc
+
+    # ------------------------------------------------------------------
     def run_cycle(
         self,
         state: FragState,
@@ -2322,17 +2401,60 @@ class SweepEngine:
         With steps_per_call set, the cycle runs as ceil(n_frags /
         steps_per_call) bounded device calls; the PRNG derivation
         matches the single-call path exactly (same key split, same
-        permutation), so the trajectory is bit-identical.
+        permutation), so the trajectory is bit-identical. "auto"
+        sizing is calibrated against a timed probe chunk on the first
+        chunked cycle (calibrate_steps_per_call).
         """
         flags = np.full(self.n_frags, bool(sample_param))
         spc = self.steps_per_call
+        if (
+            spc is not None
+            and spc < self.n_frags
+            and jax.default_backend() == "tpu"
+        ):
+            # probe-calibrate only where call sizing matters (TPU
+            # watchdog transports); CPU/test runs keep the cost-model
+            # value and skip the probe's extra compile. The method
+            # remains explicitly callable on any backend.
+            spc = self.calibrate_steps_per_call(state, params)
         if spc is None or spc >= self.n_frags:
+            import time
+
+            t0 = time.perf_counter()
             state, params, ll, traces = self._run_cycle(
                 state, jax.tree.map(jnp.asarray, params),
                 np.float32(ll_t), key, flags,
             )
+            ll = float(ll)
+            elapsed = time.perf_counter() - t0
+            warm = getattr(self, "_spc_warm", False)
+            self._spc_warm = True
+            if (
+                self._spc_mode == "auto"
+                and warm  # first call's timing is mostly compile
+                and elapsed > 45.0
+                and self.n_frags > 64
+                and jax.default_backend() == "tpu"
+            ):
+                # reverse-direction guard: the cost model said "whole
+                # cycle in one call" but this hardware is slower than
+                # the model's chip, and per-execution watchdogs only
+                # exist on (tunneled) TPU transports — chunk
+                # subsequent cycles. CPU runs skip this: no watchdog,
+                # and chunking there only adds compiles.
+                import logging
+
+                self.steps_per_call = max(
+                    64, int(self.n_frags * 20.0 / elapsed)
+                )
+                self._spc_mode = "calibrated"
+                logging.getLogger("instagraal_tpu").info(
+                    "single-call cycle took %.0f s (> watchdog "
+                    "margin); chunking subsequent cycles at "
+                    "steps_per_call=%d", elapsed, self.steps_per_call,
+                )
             traces = {k: np.asarray(v) for k, v in traces.items()}
-            return state, params, float(ll), traces
+            return state, params, ll, traces
 
         k_perm, k_steps = jax.random.split(key)
         order = jax.random.permutation(k_perm, self.n_frags).astype(
@@ -2552,6 +2674,25 @@ class MultiChainSweep:
             )
         flags = np.full(self.engine.n_frags, bool(sample_param))
         spc = self.engine.steps_per_call
+        if (
+            spc is not None
+            and spc < self.engine.n_frags
+            and jax.default_backend() == "tpu"
+        ):
+            # calibrate the call size against the actual hardware,
+            # scaled by how many chains each device advances per call
+            # (see SweepEngine.calibrate_steps_per_call); the probe
+            # uses chain 0's state — chain states share shapes, and
+            # chunk size never changes trajectories
+            if self.mesh is not None:
+                local = -(-self.n_chains // self.mesh.shape["chains"])
+            else:
+                local = self.n_chains
+            spc = self.engine.calibrate_steps_per_call(
+                jax.tree.map(lambda x: x[0], states),
+                jax.tree.map(lambda x: jnp.asarray(x)[0], params_all),
+                local_batch=local,
+            )
         if spc is not None and spc < self.engine.n_frags:
             return self._run_cycle_chunked(
                 states, params_all, lls, keys, flags, spc

@@ -83,8 +83,11 @@ class Scaffolder:
         steps_per_call: "auto" (default) splits fine-level cycles into
         device calls of <=1024 sweep steps — bit-identical results,
         bounded per-call wall time (some TPU transports kill single
-        executions past ~60 s). An int overrides; None forces the
-        whole cycle into one call."""
+        executions past ~60 s) — calibrated against a timed probe
+        chunk on the first TPU cycle so the sizing tracks the actual
+        hardware, not just the built-in cost model ("model" keeps the
+        model alone). An int overrides; None forces the whole cycle
+        into one call."""
         kw = {}
         if size_pyramid is not None:
             kw["size_pyramid"] = size_pyramid

@@ -16,7 +16,6 @@ class TestNeighbourTable:
     def test_build_and_sample(self, toy_pre, tmp_path_factory):
         import scipy.sparse as sp
 
-        rng = np.random.default_rng(0)
         n = 20
         mat = sp.random(n, n, density=0.4, random_state=0, format="csr")
         mat.data = np.ceil(mat.data * 10)
@@ -584,6 +583,78 @@ class TestStepsPerCall:
         small = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
         eng = SweepEngine(small, backend="plain")
         assert eng.steps_per_call is None  # auto: small problems 1 call
+
+    def test_probe_calibration(self):
+        """calibrate_steps_per_call resizes an auto engine's call
+        bound from a timed probe chunk, runs at most once, and never
+        changes the trajectory (chunk size only moves wall-time
+        boundaries)."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        # n_frags must exceed the 64-step floor for the clamped
+        # probe result to stay an int (below it, None = single call)
+        ssim = SyntheticSim(n_frags=80, n_contigs=4, seed=2)
+        eng = SweepEngine(
+            ssim, backend="full", sample_param=True,
+            steps_per_call="auto",
+        )
+        # small problems auto-resolve to a single call; force the
+        # chunk-active auto state the probe exists for
+        assert eng._spc_mode == "auto"
+        eng.steps_per_call = 7
+        # a vanishing per-call budget must clamp to the 64-step floor
+        spc = eng.calibrate_steps_per_call(
+            ssim.state, ssim.params, target_s=1e-9
+        )
+        assert spc == 64 and eng.steps_per_call == 64
+        assert eng._spc_mode == "calibrated"
+        # at most once: a second call is a no-op even with a huge
+        # budget that would otherwise resolve to None
+        assert (
+            eng.calibrate_steps_per_call(
+                ssim.state, ssim.params, target_s=1e9
+            )
+            == 64
+        )
+        # calibrated chunking reproduces the single-call cycle exactly
+        e_one = SweepEngine(ssim, backend="full", sample_param=True)
+        ll0 = e_one.initial_ll(ssim.state, ssim.params)
+        key = jax.random.PRNGKey(9)
+        _, _, ll1, tr1 = e_one.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=True
+        )
+        # force several chunks (incl. a remainder) through the
+        # calibrated engine
+        eng.steps_per_call = 13
+        _, _, ll2, tr2 = eng.run_cycle(
+            ssim.state, ssim.params, ll0, key, sample_param=True
+        )
+        assert ll1 == ll2
+        np.testing.assert_array_equal(
+            tr1["likelihood"], tr2["likelihood"]
+        )
+
+    def test_model_mode_skips_probe(self):
+        """steps_per_call="model" keeps the constants-only sizing: the
+        probe is a no-op on it (and on fixed int engines)."""
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        eng = SweepEngine(ssim, backend="full", steps_per_call="model")
+        eng.steps_per_call = 7
+        assert (
+            eng.calibrate_steps_per_call(
+                ssim.state, ssim.params, target_s=1e-9
+            )
+            == 7
+        )
+        fixed = SweepEngine(ssim, backend="full", steps_per_call=7)
+        assert (
+            fixed.calibrate_steps_per_call(
+                ssim.state, ssim.params, target_s=1e-9
+            )
+            == 7
+        )
 
     def test_driver_chunked_end_to_end(self, toy_pre, tmp_path_factory):
         """Scaffolder(steps_per_call=N) scaffolds through the chunked
