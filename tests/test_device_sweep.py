@@ -186,6 +186,47 @@ class TestSweepEngine:
             tr_f["likelihood"], tr_b["likelihood"], rtol=1e-4, atol=0.5
         )
 
+    def test_block_agg_precision_high_matches_highest(self, monkeypatch):
+        """The block backend's default HIGH (3-pass bf16) aggregate
+        einsums must track HIGHEST (6-pass = exact f32) within the
+        documented bound (device_sweep.py:91: max 0.044 abs error on
+        yeast-L4 aggregates, two orders below the log-unit candidate
+        score gaps) — same accepted moves, per-step likelihoods within
+        0.5 log-units. Precision flags are no-ops on CPU, so this only
+        bites on the TPU runner (test-tpu.yml runs it explicitly); it
+        is the regression gate for INSTAGRAAL_TPU_AGG_PREC=HIGH."""
+        import instagraal_tpu.sampler.device_sweep as ds
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(n_frags=40, n_contigs=4, seed=2)
+        ll0 = None
+        traces = {}
+        for prec in ("HIGHEST", "HIGH"):
+            # the module global is read at trace time, so setting it
+            # before the engine's first call pins that engine's einsums
+            monkeypatch.setattr(
+                ds, "_AGG_PRECISION", jax.lax.Precision[prec]
+            )
+            eng = SweepEngine(ssim, backend="block", sample_param=False)
+            if ll0 is None:
+                ll0 = eng.initial_ll(ssim.state, ssim.params)
+            _, _, _, tr = eng.run_cycle(
+                ssim.state, ssim.params, ll0, jax.random.PRNGKey(1),
+                sample_param=False,
+            )
+            traces[prec] = tr
+        np.testing.assert_array_equal(
+            traces["HIGH"]["id_fA"], traces["HIGHEST"]["id_fA"]
+        )
+        np.testing.assert_array_equal(
+            traces["HIGH"]["op"], traces["HIGHEST"]["op"]
+        )
+        np.testing.assert_allclose(
+            traces["HIGH"]["likelihood"],
+            traces["HIGHEST"]["likelihood"],
+            atol=0.5, rtol=0,
+        )
+
     def test_block_tri_matches_block(self):
         """The triangle-compacted block rescore (block_tri=True) scores
         exactly the same cell set as the square masked grid — the COO
