@@ -43,6 +43,7 @@ YEAST_FASTA = pathlib.Path(
 BENCH_LEVEL = 4
 N_CYCLES = 3
 REFERENCE_STEPS_PER_SEC = 100.0
+T_START = 0.0
 
 
 def _build_yeast_sim():
@@ -68,6 +69,9 @@ def _build_synthetic_sim():
 
 
 def main():
+    global T_START
+    T_START = time.perf_counter()
+    sys.path.insert(0, str(REPO))
     import jax
     import numpy as np
 
@@ -117,23 +121,136 @@ def main():
     # BASELINE.json's named metric: each step scores n_neighbours x 24
     # full-genome candidate likelihoods (+1 nuisance MH evaluation)
     evals_per_sec = steps_per_sec * (engine.n_neighbours * 24 + 1)
-    print(
-        json.dumps(
-            {
-                "metric": "mcmc_sweep_steps_per_sec",
-                "value": round(steps_per_sec, 3),
-                "unit": f"steps/s ({workload}: n_frags={sim.n_frags}, "
-                f"nnz={nnz}, 5x24 mutations/step + nuisance MH, "
-                f"scan engine, backend={engine.backend}, "
-                f"cycles/hour={round(3600 * steps_per_sec / sim.n_frags)}, "
-                f"genome_likelihood_evals/s/chip={round(evals_per_sec)}, "
-                f"device={jax.devices()[0].platform})",
-                "vs_baseline": round(
-                    steps_per_sec / REFERENCE_STEPS_PER_SEC, 3
+
+    # speed-of-light per chip (BASELINE.md: "likelihood evals/sec/chip
+    # (speed-of-light analysis per chip)"): measure the attainable
+    # pixel-pipeline rate on THIS device and state the achieved
+    # fraction; ~2 s of device time (scripts/roofline_probe.py is the
+    # standalone version)
+    sol = None
+    try:
+        from scripts.roofline_probe import (
+            block_demand_per_step,
+            measure_ceilings,
+        )
+
+        cells_per_s, _ = measure_ceilings(n_pix=1 << 23, reps=3)
+        if engine.backend == "block":
+            demand = block_demand_per_step(engine)
+            sol_steps = cells_per_s / demand
+            sol = {
+                "pixel_pipeline_ceiling_cells_per_s": round(cells_per_s),
+                "block_demand_cells_per_step": demand,
+                "speed_of_light_steps_per_s": round(sol_steps, 1),
+                "pct_of_speed_of_light": round(
+                    100.0 * steps_per_sec / sol_steps, 1
                 ),
             }
-        )
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"bench: roofline skipped ({e})", file=sys.stderr)
+
+    # beyond-envelope figure (VERDICT r2 #1): the block backend's dense
+    # grid ends at 6,144 sub-frags; yeast level 2 (10,394 sub-frags,
+    # ~978k nnz) exercises the seg backend that replaces the old
+    # ~20-30 steps/s delta fallback past it. Skipped if the bench has
+    # already spent most of a transport budget (cold tunnel).
+    beyond = None
+    if (
+        workload == "yeast-L4"
+        and time.perf_counter() - T_START < 400.0
+        and os.environ.get("INSTAGRAAL_TPU_BENCH_BEYOND", "1") != "0"
+    ):
+        try:
+            beyond = _bench_beyond_envelope()
+        except Exception as e:  # pragma: no cover - defensive
+            print(
+                f"bench: beyond-envelope skipped ({e})", file=sys.stderr
+            )
+
+    result = {
+        "metric": "mcmc_sweep_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": f"steps/s ({workload}: n_frags={sim.n_frags}, "
+        f"nnz={nnz}, 5x24 mutations/step + nuisance MH, "
+        f"scan engine, backend={engine.backend}, "
+        f"cycles/hour={round(3600 * steps_per_sec / sim.n_frags)}, "
+        f"genome_likelihood_evals/s/chip={round(evals_per_sec)}, "
+        f"device={jax.devices()[0].platform})",
+        "vs_baseline": round(
+            steps_per_sec / REFERENCE_STEPS_PER_SEC, 3
+        ),
+    }
+    if sol is not None:
+        result["speed_of_light"] = sol
+    if beyond is not None:
+        result["beyond_envelope"] = beyond
+    print(json.dumps(result))
+
+
+def _bench_beyond_envelope():
+    """Time the seg backend at yeast level 2 (past the block
+    envelope) through the chunked path: bounded device calls, ~90 s
+    compile + a few seconds of timed steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instagraal_tpu.core.ops import explode_genome
+    from instagraal_tpu.sampler.device_sweep import SweepEngine
+    from instagraal_tpu.sampler.setup import Simulation
+    from scripts.yeast_probe import ensure_bench_data
+
+    hic = ensure_bench_data(log=lambda *a: print(*a, file=sys.stderr))
+    sim = Simulation(
+        "hic", hic, YEAST_FASTA, 2,
+        output_folder=REPO / ".bench_data" / "out_l2",
     )
+    params = sim.estimate_parameters_rippe()
+    engine = SweepEngine(sim, sample_param=True, steps_per_call=256)
+    state = explode_genome(
+        sim.state, np.arange(sim.n_frags, dtype=np.int32)
+    )
+    ll = engine.initial_ll(state, params)
+
+    spc = engine.steps_per_call
+    key = jax.random.PRNGKey(0)
+    k_perm, k_steps = jax.random.split(key)
+    order = jax.random.permutation(k_perm, engine.n_frags).astype(
+        jnp.int32
+    )
+    keys = jax.random.split(k_steps, engine.n_frags)
+    flags = np.ones(engine.n_frags, dtype=bool)
+    p = jax.tree.map(jnp.asarray, params)
+    pp, nz_c = engine._init_cache(state, p)
+    llj = jnp.float32(ll)
+    st, p2, llj, pp, nz_c, _ = engine._run_chunk(  # compile
+        state, p, llj, pp, nz_c, order[:spc], keys[:spc], flags[:spc]
+    )
+    jax.block_until_ready(llj)
+    steps = 0
+    t0 = time.perf_counter()
+    for c in range(1, 4):
+        s, e = c * spc, min((c + 1) * spc, engine.n_frags)
+        if s >= e:
+            break
+        st, p2, llj, pp, nz_c, _ = engine._run_chunk(
+            st, p2, llj, pp, nz_c, order[s:e], keys[s:e], flags[s:e]
+        )
+        steps += e - s
+    jax.block_until_ready(llj)
+    rate = steps / (time.perf_counter() - t0)
+    n_sub = int(np.asarray(sim.sub_index.frag_of_sub).shape[0])
+    return {
+        "workload": "yeast-L2",
+        "backend": engine.backend,
+        "n_frags": sim.n_frags,
+        "n_sub": n_sub,
+        "nnz": int(sim.coo_rows.shape[0]),
+        "steps_per_sec": round(rate, 1),
+        "vs_round2_fallback": round(rate / 25.0, 1),
+        "note": "past the 6144-sub-frag block envelope; round-2 "
+        "delta fallback measured 19-30 steps/s at comparable shapes",
+    }
 
 
 if __name__ == "__main__":
