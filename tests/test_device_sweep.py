@@ -50,6 +50,46 @@ class TestNeighbourTable:
         eng2 = SweepEngine(ssim2, backend="plain", sample_param=False)
         assert eng2.neighbour_k == 32
 
+    def test_adaptive_width_scaffold_quality(self, sim, params):
+        """The adaptive table width is a quality heuristic (95th
+        percentile of partner counts, cap 256) — up to 5% of fragments
+        sample from clipped support vs the reference's exact
+        categorical over every partner (cuda_lib_gl_single.py:3053).
+        Measure the impact: a short scaffold run with the adaptive
+        table must reach a final likelihood within 15% of the total
+        gain of the same run with FULL support (neighbour_k =
+        n_frags - 1), the same agreement band the host-vs-scan
+        trajectory test uses."""
+        import jax.numpy as jnp
+
+        from instagraal_tpu.core import ops
+
+        finals = {}
+        order = np.arange(sim.n_frags, dtype=np.int32)
+        bombed = ops.explode_genome(sim.state, jnp.asarray(order))
+        ll0 = None
+        for label, k in (("adaptive", None), ("full", sim.n_frags - 1)):
+            eng = SweepEngine(
+                sim, sample_param=False, neighbour_k=k
+            )
+            if label == "full":
+                assert eng.neighbour_k == sim.n_frags - 1
+            if ll0 is None:
+                ll0 = eng.initial_ll(bombed, params)
+            state, p, ll = bombed, params, ll0
+            key = jax.random.PRNGKey(3)
+            for _ in range(3):
+                key, sub = jax.random.split(key)
+                state, p, ll, _ = eng.run_cycle(
+                    state, p, ll, sub, sample_param=False
+                )
+            finals[label] = ll
+        gain = finals["full"] - ll0
+        assert gain > 0
+        assert finals["adaptive"] >= finals["full"] - 0.15 * gain, (
+            finals, ll0,
+        )
+
     def test_sampling_prefers_high_counts(self):
         import scipy.sparse as sp
 
