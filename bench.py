@@ -41,9 +41,30 @@ YEAST_FASTA = pathlib.Path(
     "/root/reference/tests/data/yeast.contigs.fa.gz"
 )
 BENCH_LEVEL = 4
-N_CYCLES = 3
+N_CYCLES = 5
 REFERENCE_STEPS_PER_SEC = 100.0
 T_START = 0.0
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def _previous_bench_value():
+    """Latest committed BENCH_r*.json flagship value, for the perf
+    tripwire (VERDICT r3 #1: a >10% loss must not ship silently)."""
+    beches = sorted(REPO.glob("BENCH_r*.json"))
+    for path in reversed(beches):
+        try:
+            doc = json.loads(path.read_text())
+            parsed = doc.get("parsed", doc)
+            if parsed.get("metric") == "mcmc_sweep_steps_per_sec":
+                return float(parsed["value"]), path.name
+        except Exception:
+            continue
+    return None, None
 
 
 def _build_yeast_sim():
@@ -105,47 +126,48 @@ def main():
     from instagraal_tpu.utils.profiling import PhaseTimer
 
     timer = PhaseTimer()
-    t0 = time.perf_counter()
+    cycle_rates = []
     for _ in range(N_CYCLES):
         with timer.phase("prng_split"):
             key, sub = jax.random.split(key)
         with timer.phase("cycle_device"):
+            tc = time.perf_counter()
             state, params, ll, traces = engine.run_cycle(
                 state, params, ll, sub, sample_param=True
             )
-    elapsed = time.perf_counter() - t0
+            cycle_rates.append(
+                sim.n_frags / (time.perf_counter() - tc)
+            )
     print(timer.report(log=False), file=sys.stderr, flush=True)
+    print(
+        "bench: per-cycle steps/s = "
+        + ", ".join(f"{r:.1f}" for r in cycle_rates),
+        file=sys.stderr, flush=True,
+    )
 
-    steps = N_CYCLES * sim.n_frags
-    steps_per_sec = steps / elapsed
+    # median of per-cycle rates: robust to a transient tunnel/device
+    # stall in any single cycle (round 3's driver run recorded 336
+    # steps/s on code that measures 440-450 in steady state)
+    steps_per_sec = _median(cycle_rates)
     # BASELINE.json's named metric: each step scores n_neighbours x 24
     # full-genome candidate likelihoods (+1 nuisance MH evaluation)
     evals_per_sec = steps_per_sec * (engine.n_neighbours * 24 + 1)
 
     # speed-of-light per chip (BASELINE.md: "likelihood evals/sec/chip
-    # (speed-of-light analysis per chip)"): measure the attainable
-    # pixel-pipeline rate on THIS device and state the achieved
-    # fraction; ~2 s of device time (scripts/roofline_probe.py is the
-    # standalone version)
+    # (speed-of-light analysis per chip)"): ceilings measured with the
+    # step's exact ops at the step's shapes (see
+    # scripts/roofline_probe.py docstring); achieved must be < 100%
     sol = None
     try:
         from scripts.roofline_probe import (
-            block_demand_per_step,
-            measure_ceilings,
+            attach_pct,
+            block_speed_of_light,
         )
 
-        cells_per_s, _ = measure_ceilings(n_pix=1 << 23, reps=3)
         if engine.backend == "block":
-            demand = block_demand_per_step(engine)
-            sol_steps = cells_per_s / demand
-            sol = {
-                "pixel_pipeline_ceiling_cells_per_s": round(cells_per_s),
-                "block_demand_cells_per_step": demand,
-                "speed_of_light_steps_per_s": round(sol_steps, 1),
-                "pct_of_speed_of_light": round(
-                    100.0 * steps_per_sec / sol_steps, 1
-                ),
-            }
+            sol = attach_pct(
+                block_speed_of_light(engine), steps_per_sec
+            )
     except Exception as e:  # pragma: no cover - defensive
         print(f"bench: roofline skipped ({e})", file=sys.stderr)
 
@@ -184,6 +206,21 @@ def main():
         result["speed_of_light"] = sol
     if beyond is not None:
         result["beyond_envelope"] = beyond
+
+    prev, prev_name = _previous_bench_value()
+    if prev is not None and workload == "yeast-L4":
+        ratio = steps_per_sec / prev
+        result["vs_previous_round"] = {
+            "previous": prev,
+            "source": prev_name,
+            "ratio": round(ratio, 3),
+        }
+        if ratio < 0.9:
+            result["regression"] = (
+                f"PERF REGRESSION: {steps_per_sec:.1f} steps/s is "
+                f"{100 * (1 - ratio):.1f}% below {prev_name}'s {prev}"
+            )
+            print(result["regression"], file=sys.stderr, flush=True)
     print(json.dumps(result))
 
 
@@ -240,7 +277,7 @@ def _bench_beyond_envelope():
     jax.block_until_ready(llj)
     rate = steps / (time.perf_counter() - t0)
     n_sub = int(np.asarray(sim.sub_index.frag_of_sub).shape[0])
-    return {
+    out = {
         "workload": "yeast-L2",
         "backend": engine.backend,
         "n_frags": sim.n_frags,
@@ -251,6 +288,21 @@ def _bench_beyond_envelope():
         "note": "past the 6144-sub-frag block envelope; round-2 "
         "delta fallback measured 19-30 steps/s at comparable shapes",
     }
+    if engine.backend == "seg":
+        try:
+            from scripts.roofline_probe import (
+                attach_pct,
+                seg_speed_of_light,
+            )
+
+            out["speed_of_light"] = attach_pct(
+                seg_speed_of_light(engine), rate
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            print(
+                f"bench: seg roofline skipped ({e})", file=sys.stderr
+            )
+    return out
 
 
 if __name__ == "__main__":
