@@ -123,42 +123,61 @@ def main():
             file=sys.stderr, flush=True,
         )
 
-    gain1 = best[0, -1] - float(ll0)
-    target = float(ll0) + args.gain_frac * gain1
-    rows = []
-    c_values = [c for c in (1, 2, 4, 8, 16) if c <= args.chains_max]
-    for C in c_values:
-        # best-of-C = max over the first C chains (nested prefixes)
-        curve = best[:C].max(axis=0)
-        reached = np.nonzero(curve >= target)[0]
-        cyc = int(reached[0]) + 1 if reached.size else None
-        rows.append((C, cyc, float(curve[-1])))
-        log(
-            json.dumps(
-                {
-                    "chains": C,
-                    "cycles_to_target": cyc,
-                    "target_ll": round(target, 1),
-                    "best_final_ll": round(float(curve[-1]), 1),
-                    "speedup_vs_1_chain": (
-                        round(rows[0][1] / cyc, 2)
-                        if cyc and rows[0][1]
-                        else None
-                    ),
-                }
-            )
-        )
-
-    log("")
+    # full per-chain best-so-far curves: any threshold is
+    # post-processable without re-running the 8x30-cycle sweep
     log(
-        f"| chains C | cycles to {args.gain_frac:.0%} of 1-chain "
-        "gain | best final ll | cycle speedup |"
+        json.dumps(
+            {
+                "best_curves": [
+                    [round(v, 1) for v in row] for row in best
+                ]
+            }
+        )
     )
-    log("|---|---|---|---|")
-    base = rows[0][1]
-    for C, cyc, fin in rows:
-        sp = f"{base / cyc:.2f}x" if cyc and base else "n/a"
-        log(f"| {C} | {cyc} | {fin:.1f} | {sp} |")
+
+    c_values = [c for c in (1, 2, 4, 8, 16) if c <= args.chains_max]
+    gain1 = best[0, -1] - float(ll0)
+    fracs = sorted({args.gain_frac, 0.98, 0.995, 0.999, 1.0})
+    for frac in fracs:
+        target = float(ll0) + frac * gain1
+        rows = []
+        for C in c_values:
+            # best-of-C = max over the first C chains (nested
+            # prefixes)
+            curve = best[:C].max(axis=0)
+            reached = np.nonzero(curve >= target)[0]
+            cyc = int(reached[0]) + 1 if reached.size else None
+            rows.append((C, cyc, float(curve[-1])))
+            log(
+                json.dumps(
+                    {
+                        "gain_frac": frac,
+                        "chains": C,
+                        "cycles_to_target": cyc,
+                        "target_ll": round(target, 1),
+                        "best_final_ll": round(float(curve[-1]), 1),
+                        "speedup_vs_1_chain": (
+                            round(rows[0][1] / cyc, 2)
+                            if cyc and rows[0][1]
+                            else None
+                        ),
+                    }
+                )
+            )
+
+        log("")
+        log(
+            f"| chains C | cycles to {frac:.1%} of 1-chain "
+            "gain | best final ll | cycle speedup |"
+        )
+        log("|---|---|---|---|")
+        base = rows[0][1]
+        for C, cyc, fin in rows:
+            sp = (
+                f"{base / cyc:.2f}x" if cyc and base else "n/a"
+            )
+            log(f"| {C} | {cyc} | {fin:.1f} | {sp} |")
+        log("")
 
 
 if __name__ == "__main__":
