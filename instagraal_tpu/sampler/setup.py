@@ -228,7 +228,19 @@ class Simulation:
 
         self.mean_value_trans = float(self.sub_level.mean_value_trans)
         self.distri_frags = neighbour_distributions(self.level)
+        # coverage-outlier observability ONLY: the reference's repeat-
+        # duplication machinery is dead upstream (candidates forced
+        # empty, simu_single.py:513) and is formally out of scope here
+        # — docs/PARITY.md "Repeat duplication" has the decision record
         self.candidates_dup = select_repeated_frags(self.level)
+        if len(self.candidates_dup):
+            logger.info(
+                "%d coverage-outlier fragments detected (candidate "
+                "repeats; duplication intentionally not performed — "
+                "docs/PARITY.md): %s",
+                len(self.candidates_dup),
+                np.asarray(self.candidates_dup)[:20].tolist(),
+            )
         self.frag_blacklisted: set[int] = set()
         logger.info(
             "simulation: %d frags, %d sub-frags, %d nnz",

@@ -167,6 +167,26 @@ def _sub_index_loop(lo, hi, sub_len_bp):
     return frag_of_sub, j_of_sub, w_dist, c_dist
 
 
+def test_select_repeated_frags_detects_outliers():
+    """Detection half of the reference's repeat machinery (the
+    duplication half is formally out of scope — docs/PARITY.md
+    'Repeat duplication' decision record): coverage outliers past
+    mean + 3 sigma are surfaced, nothing else."""
+    from instagraal_tpu.sampler.setup import select_repeated_frags
+
+    n = 80
+    rng = np.random.default_rng(0)
+    m = sp.random(
+        n, n, density=0.1, random_state=rng, format="lil",
+        data_rvs=lambda s: np.ones(s),
+    )
+    m[7, :] = 40.0  # one massive-coverage row
+    level = _Level(m.tocsr())
+    out = select_repeated_frags(level)
+    assert 7 in out
+    assert len(out) <= 3
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_build_sub_index_matches_loop(seed):
     rng = np.random.default_rng(seed)
