@@ -674,12 +674,24 @@ class SweepEngine:
             # lax.cond branch; anything beyond tier 2 takes the exact
             # full-matrix pass. An explicit slice_capacity int
             # overrides tier 1.
+            # capacities bound PER-SHARD counts: with the pixels
+            # sharded, every window/compaction is local, so caps size
+            # on the local slice (a global-nnz cap would do ~n_shards
+            # of wasted window work per shard)
+            nnz_cap = nnz
+            if shard_nnz:
+                nnz_cap = -(-nnz // mesh.shape["shards"])
             if isinstance(slice_capacity_req, int):
-                tier1 = int(min(nnz, slice_capacity_req))
+                tier1 = int(min(nnz_cap, slice_capacity_req))
             else:
-                tier1 = int(min(nnz, max(512, min(nnz // 1024, 8192))))
+                tier1 = int(
+                    min(nnz_cap, max(512, min(nnz_cap // 1024, 8192)))
+                )
             tier2 = int(
-                min(nnz, max(4 * tier1, suggest_slice_capacity(sim)))
+                min(
+                    nnz_cap,
+                    max(4 * tier1, suggest_slice_capacity(sim)),
+                )
             )
             slice_capacity = tier1
             self.seg_cap2 = tier2
@@ -689,8 +701,8 @@ class SweepEngine:
             # larger than both-in) into a window, then compacts the
             # col-in pixels from it with a cheap window-sized nonzero
             self.seg_rowcaps = (
-                int(min(nnz, max(4096, 4 * tier1))),
-                int(min(nnz, 4 * max(4 * tier1, tier2))),
+                int(min(nnz_cap, max(4096, 4 * tier1))),
+                int(min(nnz_cap, 4 * max(4 * tier1, tier2))),
             )
             # post-accept geometry updates run over the row-in window
             self.seg_updcaps = self.seg_rowcaps
@@ -884,7 +896,11 @@ class SweepEngine:
             n_sh = mesh.shape["shards"]
             pad = (-nnz) % n_sh
             # physically place each device's pixel slice in its own
-            # HBM: per-chip COO memory is nnz/n_shards from here on
+            # HBM: per-chip COO memory is nnz/n_shards from here on.
+            # (Dev-tunnel caveat: the FIRST NamedSharding device_put
+            # of a process measured ~6 min one-time on the tunneled
+            # v5e — transfer-path warmup, not per-array cost; all
+            # subsequent sharded puts are <1 s.)
             pix_sharding = jax.sharding.NamedSharding(mesh, P("shards"))
             rows_s = jax.device_put(jnp.pad(rows, (0, pad)), pix_sharding)
             cols_s = jax.device_put(jnp.pad(cols, (0, pad)), pix_sharding)
@@ -903,25 +919,81 @@ class SweepEngine:
             def _pmax(x):
                 return jax.lax.pmax(x, "shards")
 
-            def _kern(r, c, dn, wm):
+            seg_ops = ()
+            if backend == "seg" and _os.environ.get(
+                "INSTAGRAAL_TPU_SEG_SORTED", "0"
+            ) != "1":
+                # per-shard STATIC CSR/CSC run indexes (VERDICT r3
+                # #4): each shard's slice of the row-sorted canonical
+                # COO is itself row-sorted, so its run index is one
+                # host-side searchsorted/lexsort at engine build —
+                # the sharded seg step then never sorts on device.
+                # Padding pixels get virtual sub id n_sub+1, a run no
+                # member window ever composes (_seg_members fills
+                # with n_sub, whose run is empty).
+                n_sub1 = n_sub_total + 1
+                r_pad = np.pad(
+                    np.asarray(rows), (0, pad), constant_values=n_sub1
+                ).astype(np.int64)
+                c_pad = np.pad(
+                    np.asarray(cols), (0, pad), constant_values=n_sub1
+                ).astype(np.int64)
+                L = (nnz + pad) // n_sh
+                grid = np.arange(n_sub_total + 2)
+                rps, cscs, cps = [], [], []
+                for d in range(n_sh):
+                    r_l = r_pad[d * L : (d + 1) * L]
+                    c_l = c_pad[d * L : (d + 1) * L]
+                    rps.append(
+                        np.searchsorted(r_l, grid).astype(np.int32)
+                    )
+                    order = np.lexsort((r_l, c_l))
+                    cscs.append(order.astype(np.int32))
+                    cps.append(
+                        np.searchsorted(c_l[order], grid).astype(
+                            np.int32
+                        )
+                    )
+                row_sharding = jax.sharding.NamedSharding(
+                    mesh, P("shards", None)
+                )
+                seg_ops = (
+                    jax.device_put(
+                        jnp.asarray(np.stack(rps)), row_sharding
+                    ),
+                    jax.device_put(
+                        jnp.asarray(np.stack(cscs)), row_sharding
+                    ),
+                    jax.device_put(
+                        jnp.asarray(np.stack(cps)), row_sharding
+                    ),
+                )
+
+            def _kern(r, c, dn, wm, *seg_o):
                 # mesh=None inside: candidate scoring stays local, the
                 # pixel axis is what's distributed here
+                seg_static = (
+                    tuple(o[0] for o in seg_o) if seg_o else None
+                )
                 return self._make_cycle(
                     idx, r, c, dn, dn_dense, msf, n_pix, n_cand,
                     cap, cap_upd, n_bounds, dist_fn, backend,
                     wide_rows, exact_overflow, None, wm, _psum, _pmax,
+                    seg_static=seg_static,
                 )
 
-            pspec = (P("shards"), P("shards"), P("shards"), P("shards"))
+            pspec = (P("shards"),) * (4 + len(seg_ops))
             # per-pixel cache spec: sharded like the pixels, except the
             # cacheless plain backend's [1] dummy (replicated)
             pp_spec = P() if backend == "plain" else P("shards")
 
+            pix_ops = (rows_s, cols_s, dn_s, wm_s) + seg_ops
+
             def chunk_sharded(state, params, ll_t, pp, nz, order, keys,
                               flags):
                 def inner(state, params, ll_t, pp, nz, order, keys,
-                          flags, r, c, dn, wm):
-                    return _kern(r, c, dn, wm)[2](
+                          flags, *pix):
+                    return _kern(*pix)[2](
                         state, params, ll_t, pp, nz, order, keys, flags
                     )
 
@@ -934,11 +1006,11 @@ class SweepEngine:
                     out_specs=(P(), P(), P(), pp_spec, P(), P()),
                     check_vma=False,
                 )(state, params, ll_t, pp, nz, order, keys, flags,
-                  rows_s, cols_s, dn_s, wm_s)
+                  *pix_ops)
 
             def init_cache_sharded(state, params):
-                def inner(state, params, r, c, dn, wm):
-                    return _kern(r, c, dn, wm)[3](state, params)
+                def inner(state, params, *pix):
+                    return _kern(*pix)[3](state, params)
 
                 return shard_map(
                     inner,
@@ -946,14 +1018,14 @@ class SweepEngine:
                     in_specs=(P(), P()) + pspec,
                     out_specs=(pp_spec, P()),
                     check_vma=False,
-                )(state, params, rows_s, cols_s, dn_s, wm_s)
+                )(state, params, *pix_ops)
 
             self._run_chunk = jax.jit(chunk_sharded)
             self._init_cache = jax.jit(init_cache_sharded)
 
             def cycle_fn(state, params, ll_t, key, flags):
-                def inner(state, params, ll_t, key, flags, r, c, dn, wm):
-                    return _kern(r, c, dn, wm)[0](
+                def inner(state, params, ll_t, key, flags, *pix):
+                    return _kern(*pix)[0](
                         state, params, ll_t, key, flags
                     )
 
@@ -963,12 +1035,11 @@ class SweepEngine:
                     in_specs=(P(), P(), P(), P(), P()) + pspec,
                     out_specs=P(),
                     check_vma=False,
-                )(state, params, ll_t, key, flags,
-                  rows_s, cols_s, dn_s, wm_s)
+                )(state, params, ll_t, key, flags, *pix_ops)
 
             def initial_fn(state, params):
-                def inner(state, params, r, c, dn, wm):
-                    return _kern(r, c, dn, wm)[1](state, params)
+                def inner(state, params, *pix):
+                    return _kern(*pix)[1](state, params)
 
                 return shard_map(
                     inner,
@@ -976,7 +1047,7 @@ class SweepEngine:
                     in_specs=(P(), P()) + pspec,
                     out_specs=P(),
                     check_vma=False,
-                )(state, params, rows_s, cols_s, dn_s, wm_s)
+                )(state, params, *pix_ops)
 
             # handles for tests to verify real per-device pixel shards
             self._pix_sharded = (rows_s, cols_s, dn_s, wm_s)
@@ -995,8 +1066,7 @@ class SweepEngine:
                     else P("chains", "shards")
                 )
                 return _chain_batched_shard_map(
-                    mesh, n_chains, _kern,
-                    (rows_s, cols_s, dn_s, wm_s), pspec, pp_b,
+                    mesh, n_chains, _kern, pix_ops, pspec, pp_b,
                 )
 
             self._make_batched_fns = _batched_fns
@@ -1008,7 +1078,7 @@ class SweepEngine:
     def _make_cycle(
         self, idx, rows, cols, data_norm, dn_dense, msf, n_pix, n_cand,
         cap, cap_upd, n_bounds, dist_fn, backend, wide_rows,
-        exact_overflow, mesh, wmask, psum, pmax,
+        exact_overflow, mesh, wmask, psum, pmax, seg_static=None,
     ):
         """Build (cycle_fn, initial_ll_fn) over the given pixel arrays.
 
@@ -1022,6 +1092,16 @@ class SweepEngine:
         (slice overflow, update-set overflow) goes through pmax first,
         so all devices take the same lax.cond branch and collectives
         inside the branches cannot deadlock.
+
+        seg_static: this shard's STATIC (rowptr, csc_pix, colptr) run
+        index over its local pixel slice (seg + shard_nnz; VERDICT r3
+        #4). Each shard's slice of the canonical COO is row-sorted, so
+        its CSR/CSC run index is computed once at engine build on the
+        host — the sharded seg step then composes member windows from
+        static runs exactly like the replicated seg_fast variant, and
+        the per-step O(nnz log nnz) lax.sort_key_val (XProf: 54% of
+        the step) is gone. Padding pixels are parked under virtual
+        sub id n_sub+1 in the index, so no window ever reads them.
         """
         n_sub_total = int(np.asarray(idx.frag_of_sub).shape[0])
 
@@ -1143,6 +1223,12 @@ class SweepEngine:
             if wmask is None:  # replicated: rows is a concrete array
                 r_host = np.asarray(rows)
                 row_expand_ok = bool(np.all(np.diff(r_host) >= 0))
+            elif seg_static is not None:
+                # sharded: this shard's static run index was built on
+                # the host at engine setup (each shard's canonical COO
+                # slice is row-sorted) — same seg_fast machinery, with
+                # psum/pmax closing the cross-shard sums/predicates
+                row_expand_ok = True
             # seg_fast: the steady-state no-O(nnz)-work layout —
             # replicated pixels + row-sorted canonical COO. It carries
             # ONE per-pixel cache: the scoring GEOMETRY (s, s_tot, s_z,
@@ -1159,7 +1245,9 @@ class SweepEngine:
             # the eval uses. The shard_nnz layout keeps the sorted
             # contig-pair-code variant (per-shard arrays).
             seg_fast = row_expand_ok
-            if seg_fast:
+            if seg_fast and seg_static is not None:
+                seg_rowptr, seg_csc_pix, seg_colptr = seg_static
+            elif seg_fast:
                 # static CSR run index: pixels with row sub s are the
                 # contiguous id range [rowptr[s], rowptr[s+1]) of the
                 # canonical order, so "all pixels whose ROW endpoint is
@@ -1411,14 +1499,25 @@ class SweepEngine:
             """Per-pixel scores from the geometry cache: pure
             elementwise math, zero gathers — equal to pp_rows_fast on
             the same endpoints (f32-exact: identical operations on the
-            stored operands)."""
+            stored operands). Window-shape agnostic: shard-padding is
+            NOT masked here (windows exclude pads by construction —
+            they live under virtual sub id n_sub+1); full-local-array
+            callers use pp_from_geom_masked."""
             ex, log_ex = expected_counts_with_log10(
                 geom_c[..., 0], geom_c[..., 1], params
             )
             ex_z = expected_counts_fast(
                 geom_c[..., 2], geom_c[..., 3], params
             )
-            pp = dn[..., 0] * log_ex - ex - dn[..., 1] + ex_z * LOG10_E
+            return (
+                dn[..., 0] * log_ex - ex - dn[..., 1] + ex_z * LOG10_E
+            )
+
+        def pp_from_geom_masked(geom_c, dn, params):
+            """pp_from_geom over the full local pixel slice, with the
+            shard-padding mask applied (pad scores are finite junk,
+            so * 0 is exact)."""
+            pp = pp_from_geom(geom_c, dn, params)
             return pp if wmask is None else pp * wmask
 
         def seg_candidate(ctx, id_fB, packed24, seg_idx, capacity):
@@ -1467,7 +1566,11 @@ class SweepEngine:
                 )
                 e_col_g = jnp.sum(_g_of(dn_c, params) * w_c)
                 # inclusion-exclusion: every touch pixel appears once
-                # per endpoint-in-pair across the two windows
+                # per endpoint-in-pair across the two windows. LOCAL
+                # partial sums here; one consolidated psum closes them
+                # together with the rescore below (a scalar psum per
+                # term measured 3.1x replicated cost on the virtual
+                # mesh — collectives dominate the sharded step)
                 cur_slice = e_row_pp + e_col_pp - both_pp
                 g_single = (e_row_g + e_col_g - both_g) - both_g
                 # compact the both-in pixels out of the row window
@@ -1512,8 +1615,8 @@ class SweepEngine:
                 both = touch & row_in & col_in
                 tmask = touch.astype(jnp.float32)
                 bmask = both.astype(jnp.float32)
-                cur_slice = psum(jnp.sum(pp_cur * tmask))
-                g_single = psum(jnp.sum(g_trans * (tmask - bmask)))
+                cur_slice = jnp.sum(pp_cur * tmask)
+                g_single = jnp.sum(g_trans * (tmask - bmask))
                 b_idx, w, n_sel = _seg_segments(
                     seg_idx, a_i, b_i, capacity
                 )
@@ -1524,7 +1627,12 @@ class SweepEngine:
             ca = jnp.take(packed24, b_cols, axis=1)
             pp24 = pp_rows_fast(ra, ca, b_dn[None, :, :], params, msf)
             nz_both = jnp.sum(pp24 * w[None, :], axis=1)
-            nz24 = ll_nz_cur - cur_slice + g_single + psum(nz_both)
+            # ONE consolidated psum per candidate: the local marginal
+            # partials broadcast into the [24] rescore vector, so the
+            # whole candidate costs a single cross-shard reduction
+            # (and the pmax; under vmap each site batches into one
+            # collective for all candidates). Identity when replicated.
+            nz24 = ll_nz_cur + psum(g_single - cur_slice + nz_both)
             return nz24, pmax(n_sel)
 
         def update_geom(new_packed, a_i, b_i, sub_ci, geom_c):
@@ -1539,7 +1647,11 @@ class SweepEngine:
             no-ops). Tiered window capacities with an exact
             full-rebuild fallback."""
             ids, n_mem = _seg_members(sub_ci, a_i, b_i)
-            n_upd = jnp.sum(seg_rowptr[ids + 1] - seg_rowptr[ids])
+            # worst shard's update-window size: every device must take
+            # the same tier/rebuild branch (identity when replicated)
+            n_upd = pmax(
+                jnp.sum(seg_rowptr[ids + 1] - seg_rowptr[ids])
+            )
 
             def geom_upd(capc):
                 pix, w0, _ = _seg_rowin(ids, capc)
@@ -2133,8 +2245,12 @@ class SweepEngine:
                     # truncating mode: derive the exact total from the
                     # (always exact) geometry cache so truncation can
                     # only affect the argmax
-                    ll_nz_cur = jnp.sum(
-                        pp_from_geom(geom_c, data_norm, params)
+                    ll_nz_cur = psum(
+                        jnp.sum(
+                            pp_from_geom_masked(
+                                geom_c, data_norm, params
+                            )
+                        )
                     )
             else:
                 pp_cur, ll_nz_cur = update_pp(
@@ -2207,12 +2323,24 @@ class SweepEngine:
                 # the delta-chained nz carry (f32 drift correction).
                 def with_nuis(_):
                     test, k_acc = propose_nuisance(k_nuis, params)
-                    nz_test = jnp.sum(
-                        pp_from_geom(geom_c, data_norm, test)
+                    # one consolidated psum for both totals
+                    nz_pair = psum(
+                        jnp.stack(
+                            [
+                                jnp.sum(
+                                    pp_from_geom_masked(
+                                        geom_c, data_norm, test
+                                    )
+                                ),
+                                jnp.sum(
+                                    pp_from_geom_masked(
+                                        geom_c, data_norm, params
+                                    )
+                                ),
+                            ]
+                        )
                     )
-                    nz_fresh = jnp.sum(
-                        pp_from_geom(geom_c, data_norm, params)
-                    )
+                    nz_test, nz_fresh = nz_pair[0], nz_pair[1]
                     zeros_cur = zeros_packed_fast(
                         new_packed, params, msf, n_pix
                     )
@@ -2288,7 +2416,11 @@ class SweepEngine:
                 # cycle happen here, once
                 packed0 = project_packed(state, idx)
                 geom0 = geom_from_rows(packed0[rows], packed0[cols])
-                nz0 = jnp.sum(pp_from_geom(geom0, data_norm, params))
+                nz0 = psum(
+                    jnp.sum(
+                        pp_from_geom_masked(geom0, data_norm, params)
+                    )
+                )
                 return geom0, nz0
             # fresh per-pixel cache each cycle (bounds drift)
             packed0 = project_packed(state, idx)
