@@ -289,6 +289,14 @@ def _bench_beyond_envelope():
         "delta fallback measured 19-30 steps/s at comparable shapes",
     }
     if engine.backend == "seg":
+        out["capacities"] = {
+            "tier1": int(engine.slice_capacity),
+            "tier2": int(engine.seg_cap2),
+            "row_windows": [int(c) for c in engine.seg_rowcaps],
+            "calibration": "docs/seg_cap_probe.json "
+            "(scripts/seg_cap_probe.py measures candidate caps on "
+            "the running chip; pass the winner via --slice-cap)",
+        }
         try:
             from scripts.roofline_probe import (
                 attach_pct,

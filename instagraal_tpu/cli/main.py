@@ -130,9 +130,12 @@ from ..log import set_level
     default=None,
     type=str,
     help=(
-        "Sliced-scoring capacity: an integer pixel count, or 'auto' to "
-        "derive one from the contact map (default: nnz/8). Oversized "
-        "slices fall back to an exact full re-score."
+        "Sliced-scoring capacity: an integer pixel count, 'auto' to "
+        "derive one from the contact map (default: nnz/8), or "
+        "'probe' to measure candidate seg capacities on the running "
+        "device and use the fastest (costs one compile per "
+        "candidate). Oversized slices fall back to an exact full "
+        "re-score either way."
     ),
 )
 @click.option(
@@ -238,7 +241,9 @@ def main(
         seed=None if seed < 0 else seed,
         resume=resume,
         slice_capacity=(
-            slice_cap if slice_cap in (None, "auto") else int(slice_cap)
+            slice_cap
+            if slice_cap in (None, "auto", "probe")
+            else int(slice_cap)
         ),
         chains=chains,
         shard_nnz=shard_nnz,

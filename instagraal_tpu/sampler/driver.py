@@ -237,11 +237,40 @@ class Scaffolder:
                     len(jax.devices()),
                 )
             with self.timer.phase("engine_build"):
+                slice_cap = self.slice_capacity
+                if slice_cap == "probe":
+                    # measure the seg tier-1 capacity on the running
+                    # device and use the winner (VERDICT r3 #7); only
+                    # meaningful when the workload resolves to seg
+                    trial = SweepEngine(
+                        self.simulation,
+                        n_neighbours=sampler.n_neighbours,
+                        sample_param=self.sample_param,
+                        steps_per_call=self.steps_per_call,
+                        **kw,
+                    )
+                    if trial.backend == "seg":
+                        table = SweepEngine.probe_seg_capacity(
+                            self.simulation, sampler.state,
+                            params=sampler.params, log=logger.info,
+                        )
+                        logger.info(
+                            "seg capacity probe picked %d "
+                            "(%.3f us/unit)", table["best_cap"],
+                            table["us_per_capacity_unit"],
+                        )
+                        slice_cap = int(table["best_cap"])
+                    else:
+                        logger.info(
+                            "--slice-cap probe: backend resolved to "
+                            "%s, probe skipped", trial.backend,
+                        )
+                        slice_cap = None
                 self._sweep_engine = SweepEngine(
                     self.simulation,
                     n_neighbours=sampler.n_neighbours,
                     sample_param=self.sample_param,
-                    slice_capacity=self.slice_capacity,
+                    slice_capacity=slice_cap,
                     steps_per_call=self.steps_per_call,
                     **kw,
                 )
