@@ -611,19 +611,25 @@ class SweepEngine:
         elif slice_capacity is None:
             slice_capacity = int(min(nnz, max(4096, nnz // 16)))
         n_sub_total = int(np.asarray(sim.sub_index.frag_of_sub).shape[0])
-        # seg eligibility: the replicated fast layout (row-sorted
-        # canonical COO) works at ANY genome scale — its pixel
-        # compaction rides static CSR/CSC runs, no pair codes at all.
-        # Only the shard_nnz variant keys pixels by an int32 ordered
-        # contig-pair code row*ncp + col, so there codes must fit.
+        # seg eligibility: the fast layouts (row-sorted canonical COO,
+        # static CSR/CSC run windows — replicated, or per-shard under
+        # shard_nnz) work at ANY genome scale: pixel compaction rides
+        # static runs, no pair codes at all. Only the legacy
+        # per-step-sorted shard variant (INSTAGRAAL_TPU_SEG_SORTED=1)
+        # keys pixels by an int32 ordered contig-pair code
+        # row*ncp + col, so only there must codes fit (~46k frags).
         rows_sorted = bool(
             np.all(np.diff(np.asarray(sim.coo_rows)) >= 0)
         )
         seg_codes_fit = (
             (sim.n_frags + SEG_ID_SLACK) ** 2 <= np.iinfo(np.int32).max
         )
+        seg_sort_free = (
+            _os.environ.get("INSTAGRAAL_TPU_SEG_SORTED", "0") != "1"
+        )
         seg_ok = (
-            (not shard_nnz and rows_sorted) or seg_codes_fit
+            (rows_sorted and (not shard_nnz or seg_sort_free))
+            or seg_codes_fit
         )
         if backend == "auto":
             # "plain" scores all nnz pixels per mutation with no delta
@@ -663,10 +669,14 @@ class SweepEngine:
                 )
         if backend == "seg" and not seg_ok:
             raise ValueError(
-                f"the sharded seg backend needs "
-                f"(n_frags+{SEG_ID_SLACK})^2 < 2^31 for int32 pair "
-                f"codes (n_frags={sim.n_frags}); use 'full' or "
-                f"'sliced', or scaffold at a coarser pyramid level"
+                f"seg backend ineligible (n_frags={sim.n_frags}, "
+                f"rows_sorted={rows_sorted}, shard_nnz={shard_nnz}, "
+                f"sort_free={seg_sort_free}): the legacy sorted shard "
+                f"variant needs (n_frags+{SEG_ID_SLACK})^2 < 2^31 for "
+                f"int32 pair codes, and the fast layouts need the "
+                f"canonical COO row-sorted; use 'full'/'sliced', unset "
+                f"INSTAGRAAL_TPU_SEG_SORTED, or scaffold at a coarser "
+                f"pyramid level"
             )
         self.seg_cap2 = None
         self.seg_updcaps = None
@@ -926,9 +936,7 @@ class SweepEngine:
                 return jax.lax.pmax(x, "shards")
 
             seg_ops = ()
-            if backend == "seg" and _os.environ.get(
-                "INSTAGRAAL_TPU_SEG_SORTED", "0"
-            ) != "1":
+            if backend == "seg" and seg_sort_free:
                 # per-shard STATIC CSR/CSC run indexes (VERDICT r3
                 # #4): each shard's slice of the row-sorted canonical
                 # COO is itself row-sorted, so its run index is one
@@ -1057,6 +1065,7 @@ class SweepEngine:
 
             # handles for tests to verify real per-device pixel shards
             self._pix_sharded = (rows_s, cols_s, dn_s, wm_s)
+            self._seg_static_ops = seg_ops or None
             self._pix_spec = pspec[0]
 
             def _batched_fns(n_chains):
@@ -1216,7 +1225,14 @@ class SweepEngine:
             # shard-padding pixels past every reachable code
             ncp_seg = self.n_frags + SEG_ID_SLACK
             nnz_local = int(rows.shape[0])
-            seg_sentinel = np.int32(ncp_seg * ncp_seg - 1)
+            # the sorted-code variant is unreachable past the int32
+            # code bound (eligibility enforces it); don't overflow the
+            # eager sentinel there
+            seg_sentinel = (
+                np.int32(ncp_seg * ncp_seg - 1)
+                if ncp_seg * ncp_seg <= np.iinfo(np.int32).max
+                else None
+            )
             # Static row-segment index: the canonical COO is sorted by
             # row, so per-pixel ROW contig labels never need a gather —
             # scatter each row's label *delta* at its static segment

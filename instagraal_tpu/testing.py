@@ -227,8 +227,18 @@ def synthetic_problem(
     n_contigs: int = 4,
     seed: int = 0,
     frag_len: int = 10_000,
+    band: int | None = None,
 ):
     """Build an in-memory scaffolding problem (no disk IO).
+
+    band=None (default) samples observed counts over the full upper
+    triangle — O(n_frags^2) host work, fine up to a few thousand
+    fragments. band=K instead samples only the K diagonals nearest the
+    main diagonal plus a thin random trans sprinkle — O(n_frags * K),
+    the constructor for LARGE synthetic genomes (10^5-10^6 fragments,
+    BASELINE config #5 scale) where the dense triangle cannot even be
+    enumerated. Contact statistics per retained pixel are identical
+    (same Rippe-model Poisson draw).
 
     Returns a dict with a FragState, SubIndex, COO contact arrays drawn
     from the Rippe model on the true arrangement, model params and
@@ -294,7 +304,29 @@ def synthetic_problem(
     )
 
     # observed counts from the model on the true arrangement
-    r, c = np.triu_indices(n_frags, k=1)
+    if band is not None:
+        # banded cis pairs: (i, i+d) for d in 1..band, same-contig
+        # only, plus ~n_frags random trans pixels so trans scoring
+        # paths stay exercised
+        rs, cs = [], []
+        for d in range(1, band + 1):
+            i = np.arange(n_frags - d)
+            rs.append(i)
+            cs.append(i + d)
+        tr = rng.integers(0, n_frags, size=(n_frags, 2))
+        tr = tr[tr[:, 0] != tr[:, 1]]
+        rs.append(np.minimum(tr[:, 0], tr[:, 1]))
+        cs.append(np.maximum(tr[:, 0], tr[:, 1]))
+        r = np.concatenate(rs)
+        c = np.concatenate(cs)
+        # canonical row-major order, deduplicated (band pairs can
+        # collide with the trans sprinkle)
+        codes = r.astype(np.int64) * n_frags + c
+        codes = np.unique(codes)
+        r = (codes // n_frags).astype(np.int64)
+        c = (codes % n_frags).astype(np.int64)
+    else:
+        r, c = np.triu_indices(n_frags, k=1)
     cis = id_c[r] == id_c[c]
     dist_kb = np.abs(start[r] - start[c]) / 1000.0
     base = (
@@ -325,12 +357,15 @@ class SyntheticSim:
     need, without any disk IO.
     """
 
-    def __init__(self, n_frags=256, n_contigs=8, seed=0, frag_len=10_000):
+    def __init__(
+        self, n_frags=256, n_contigs=8, seed=0, frag_len=10_000,
+        band=None,
+    ):
         import scipy.sparse as sp
 
         p = synthetic_problem(
             n_frags=n_frags, n_contigs=n_contigs, seed=seed,
-            frag_len=frag_len,
+            frag_len=frag_len, band=band,
         )
         self.state = p["state"]
         self.sub_index = p["sub_index"]

@@ -3,11 +3,13 @@ default (auto-selected once the dense [n_sub+1]^2 grid stops fitting,
 SweepEngine.__init__). Exactness anchor: the "full" backend (unwindowed
 cis/trans-split delta, reference kernel_sparse_adapt.cu:4236 semantics).
 
-seg_fast (replicated layout) carries a per-pixel geometry cache and
-compacts candidate pixels from static CSR/CSC member-run windows; the
-shard_nnz variant uses a per-step sorted contig-pair-code index. Both
-must reproduce the full backend's trajectories to f32 noise, at any
-capacity (tiers + exact overflow fallbacks).
+seg_fast carries a per-pixel geometry cache and compacts candidate
+pixels from static CSR/CSC member-run windows — replicated, or
+per-shard under shard_nnz (each shard's slice of the canonical COO is
+row-sorted, so its run index is static too; the legacy per-step-sorted
+contig-pair-code variant survives under INSTAGRAAL_TPU_SEG_SORTED=1).
+All variants must reproduce the full backend's trajectories to f32
+noise, at any capacity (tiers + exact overflow fallbacks).
 """
 
 import numpy as np
@@ -208,6 +210,44 @@ class TestSegBackend:
                 float(pr_s.d_max), float(pr_r.d_max), rtol=1e-5
             )
             state, params, ll = st_r, pr_r, ll_r
+
+    def test_shard_nnz_beyond_int32_pair_codes(self):
+        """Past the legacy int32 pair-code bound (~46k frags), the
+        sort-free sharded seg stays eligible and auto-selected: its
+        static run windows never form pair codes (BASELINE config #5 —
+        large eukaryote, fine level, matrix sharded). The legacy
+        sorted variant must refuse loudly instead of overflowing."""
+        import os
+
+        from instagraal_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        sim = SyntheticSim(n_frags=60_000, n_contigs=64, seed=0, band=4)
+        assert (sim.n_frags + 16) ** 2 > np.iinfo(np.int32).max
+        mesh = make_mesh(chains=1)
+        eng = SweepEngine(
+            sim, backend="auto", sample_param=True, mesh=mesh,
+            shard_nnz=True,
+        )
+        assert eng.backend == "seg"
+        # engine build is cheap (the expensive part is the chunk
+        # compile, exercised at this scale by
+        # scripts/large_scale_probe.py); here assert the sort-free
+        # static-run operands exist and are per-shard
+        rowptr, csc_pix, colptr = eng._seg_static_ops
+        n_sh = mesh.shape["shards"]
+        assert rowptr.shape[0] == n_sh
+        assert csc_pix.shape == (n_sh, int(rowptr[0, -1]))
+        os.environ["INSTAGRAAL_TPU_SEG_SORTED"] = "1"
+        try:
+            with pytest.raises(ValueError, match="int32 pair codes"):
+                SweepEngine(
+                    sim, backend="seg", sample_param=True, mesh=mesh,
+                    shard_nnz=True,
+                )
+        finally:
+            del os.environ["INSTAGRAAL_TPU_SEG_SORTED"]
 
     def test_auto_backend_beyond_envelope(self):
         """Past the block envelope (n_sub > 6144) with >=16384 nnz the
