@@ -105,12 +105,33 @@ def all_candidate_states(
             )
 
     stacked = stack_states(states)
+    valid = candidate_validity(
+        state, id_fA, id_fB, flip_eject, valid_insert=valid_insert
+    )
+    return stacked, valid
 
-    # --- validity mask (kernel extract_uniq_mutations :4492) ---
+
+def candidate_validity(
+    state: FragState,
+    id_fA,
+    id_fB,
+    flip_eject: bool | jnp.ndarray = True,
+    valid_insert=None,
+) -> jnp.ndarray:
+    """The [24] validity mask alone (kernel extract_uniq_mutations
+    :4492): eject/flip once per sweep step, pop-ins need contig B
+    length > 1, translocations contig A length > 1, block inserts
+    follow get_bounds. Used standalone by the seg backend's local
+    candidate path when a member window overflowed and the truncated
+    local get_bounds cannot be trusted."""
+    if valid_insert is None:
+        valid_insert, _, _ = ops.get_bounds(
+            state, id_fA, id_fB, jnp.asarray(BLOCK_SIZES)
+        )
     l_cont_a = state.l_cont[id_fA]
     l_cont_b = state.l_cont[id_fB]
     fe = jnp.asarray(flip_eject, dtype=bool)
-    valid = jnp.concatenate(
+    return jnp.concatenate(
         [
             jnp.stack([fe, fe, jnp.asarray(True), jnp.asarray(True)]),
             jnp.repeat(l_cont_b > 1, 4),
@@ -118,7 +139,77 @@ def all_candidate_states(
             valid_insert != -1,
         ]
     )
-    return stacked, valid
+
+
+def single_candidate_state(
+    state: FragState, id_fA, id_fB, max_id, op
+) -> FragState:
+    """Materialize ONE of the 24 mutated genomes, selected by traced
+    index `op`, without building the other 23.
+
+    Exact complement to `all_candidate_states` (same mutation index
+    layout); `lax.switch` runs only the chosen chain of ops, so the
+    cost is one O(n) mutation instead of 24. The seg backend's local
+    candidate path uses this as the exact any-scale fallback: when a
+    candidate pair's member windows overflow the local capacities, the
+    full-size winner (or an overflowed candidate under scoring) is
+    regenerated here instead of being read from the truncated local
+    stack.
+    """
+    list_bounds = jnp.asarray(BLOCK_SIZES)
+
+    def eject(_):
+        return ops.pop_out(state, id_fA, max_id)
+
+    def flip_(_):
+        return ops.flip(state, id_fA)
+
+    def make_pop_in(k, ori):
+        fn = (ops.pop_in_1, ops.pop_in_2, ops.pop_in_3)[k]
+
+        def apply(_):
+            popped = ops.pop_out(state, id_fA, max_id)
+            return fn(popped, id_fA, id_fB, jnp.max(popped.id_c), ori)
+
+        return apply
+
+    def make_transloc(up_a, up_b):
+        def apply(_):
+            s1 = ops.split_contig(state, id_fA, up_a, max_id)
+            s2 = ops.split_contig(s1, id_fB, up_b, jnp.max(s1.id_c))
+            return ops.paste_contigs(s2, id_fA, id_fB, jnp.max(s2.id_c))
+
+        return apply
+
+    def make_block(i, upstream):
+        def apply(_):
+            valid_insert, f_up, f_down = ops.get_bounds(
+                state, id_fA, id_fB, list_bounds
+            )
+            f_cut = f_up[i] if upstream else f_down[i]
+            mut_idx = 2 * i + (0 if upstream else 1)
+            extracted = ops.extract_block(
+                state, id_fA, f_cut, upstream, max_id
+            )
+            return ops.insert_block(
+                extracted, state, id_fA, id_fB, f_cut, upstream,
+                valid_insert[mut_idx],
+            )
+
+        return apply
+
+    branches = [eject, flip_]
+    for k in range(3):
+        for ori in (1, -1):
+            branches.append(make_pop_in(k, ori))
+    for up_a in (0, 1):
+        for up_b in (0, 1):
+            branches.append(make_transloc(up_a, up_b))
+    for i in range(len(BLOCK_SIZES)):
+        for upstream in (1, 0):
+            branches.append(make_block(i, upstream))
+    assert len(branches) == N_MUTATIONS
+    return jax.lax.switch(op, branches, None)
 
 
 def renumber_contigs(

@@ -70,13 +70,20 @@ solve of rippe(s) = v_inter.
 
 from __future__ import annotations
 
+import types as _types
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.moves import N_MUTATIONS, all_candidate_states, renumber_contigs
+from ..core.moves import (
+    N_MUTATIONS,
+    all_candidate_states,
+    candidate_validity,
+    renumber_contigs,
+    single_candidate_state,
+)
 from ..core.state import FragState
 from ..model.likelihood import LOG10_E, log10_poisson, poisson_norm
 from ..model.rippe import (
@@ -106,6 +113,29 @@ _AGG_PRECISION = jax.lax.Precision[
 # id headroom above n_frags during a step's mutation chains (the seg
 # shard variant keys pixels by contig-pair codes and needs the bound)
 SEG_ID_SLACK = 16
+
+# Below this fragment count the seg backend's LOCAL candidate
+# generation (mutate only the pair's member fragments in a compact
+# mini-state) is off by default: the O(n) full-state generation is
+# already sub-millisecond there and the local path's extra index math
+# has nothing to amortize. Measured crossover: see docs/DESIGN.md
+# (scripts/large_scale_probe.py compares both at 50k-200k frags).
+SEG_LOCAL_MIN_FRAGS = 1024
+
+
+class SegLocalCtx(NamedTuple):
+    """Per-step context for the seg backend's local candidate path.
+
+    Rides the (otherwise unused) g_trans slot of the step ctx tuple:
+    packed_cur is the step's [n_sub, PACK] projection, and
+    (intra_cur, ni_cur) the zeros-term partial sums of the CURRENT
+    genome — candidates score their zeros term as a member-window
+    delta against these instead of an O(n_sub) pass per mutation.
+    """
+
+    packed_cur: jnp.ndarray
+    intra_cur: jnp.ndarray
+    ni_cur: jnp.ndarray
 
 
 class ChainBatchedFns(NamedTuple):
@@ -520,6 +550,8 @@ class SweepEngine:
         block_tri: bool = False,
         shard_nnz: bool = False,
         steps_per_call: int | str | None = "auto",
+        seg_local: bool | str = "auto",
+        _seg_local_caps: tuple[int, int] | None = None,
     ):
         """mesh: optional 1D jax.sharding.Mesh with axis "shards". When
         given, candidate scoring is sharded across its devices with
@@ -728,6 +760,50 @@ class SweepEngine:
             self.seg_mcap = int(
                 min(n_sub_total + 1, max(256, n_sub_total // 4))
             )
+            # --- local candidate generation (seg_fast only) ----------
+            # Mutations only touch the pair's member fragments, so the
+            # 24 candidate states are generated in a COMPACT mini-state
+            # of the members (locally renumbered; the ops run
+            # unchanged) and projected only over the members' sub-frag
+            # runs — per-step generation cost O(member window), not
+            # O(n_frags) (the O(n) 5x24 materialization measured
+            # ~146 ms of the 177 ms step at 200k frags,
+            # docs/large_scale_probe.json). Two member-capacity tiers
+            # mirror the scoring tiers; past tier 2 the exact
+            # full-state fallback regenerates per candidate.
+            fos = np.asarray(sim.sub_index.frag_of_sub)
+            so = np.searchsorted(
+                fos, np.arange(sim.n_frags + 1)
+            ).astype(np.int32)
+            # pad so the member fill id n_frags reads a zero-length run
+            self.seg_suboff = jnp.asarray(np.concatenate([so, so[-1:]]))
+            f2 = int(min(sim.n_frags + 1, max(128, sim.n_frags // 4)))
+            m2 = self.seg_mcap
+            if _seg_local_caps is not None:
+                f1, m1 = (int(v) for v in _seg_local_caps)
+                f1 = min(f1, f2)
+                m1 = min(m1, m2)
+            else:
+                f1 = int(min(f2, max(64, sim.n_frags // 64)))
+                m1 = int(min(m2, max(192, n_sub_total // 64)))
+            self.seg_fcaps = (f1, f2)
+            self.seg_mcaps = (m1, m2)
+            pad0 = lambda a: jnp.concatenate(  # noqa: E731
+                [a, jnp.zeros(1, dtype=a.dtype)]
+            )
+            self._seg_sub_ext = (
+                pad0(sim.sub_index.j_of_sub),
+                pad0(sim.sub_index.w_dist),
+                pad0(sim.sub_index.c_dist),
+            )
+            env_local = _os.environ.get("INSTAGRAAL_TPU_SEG_LOCAL", "")
+            if env_local in ("0", "1"):
+                seg_local = env_local == "1"
+            if seg_local == "auto":
+                seg_local = sim.n_frags >= SEG_LOCAL_MIN_FRAGS
+            self.seg_local = bool(seg_local)
+        else:
+            self.seg_local = False
         self._spc_mode = "fixed"
         self._spc_model = None
         if steps_per_call in ("auto", "model"):
@@ -1298,6 +1374,17 @@ class SweepEngine:
                     np.concatenate([colptr_np, colptr_np[-1:]])
                 )
             mcap_seg = self.seg_mcap
+            # local candidate generation: only meaningful on the
+            # static-run fast layout (the member windows ARE the
+            # mutation's support); the per-step-sorted legacy variant
+            # keeps full-state generation
+            seg_local_on = seg_fast and self.seg_local
+            if seg_local_on:
+                suboff = self.seg_suboff
+                j_ext, w_ext, c_ext = self._seg_sub_ext
+                fcap1, fcap2 = self.seg_fcaps
+                mcap1, mcap2 = self.seg_mcaps
+                nfr = self.n_frags
             seg_cap2 = self.seg_cap2
             upd1 = self.seg_updcaps[0]
             rcap1, rcap2 = (
@@ -1328,9 +1415,17 @@ class SweepEngine:
             offs = jnp.cumsum(lens)
             n_tot = offs[-1]
             j = jnp.arange(capacity)
-            run = jnp.clip(
-                jnp.searchsorted(offs, j, side="right"), 0, mcap_seg - 1
+            # run-of-position via scatter + cummax instead of a
+            # vmapped searchsorted: the binary-search while loop
+            # measured 2.1 ms/step at [5, 4096] on v5e where the
+            # scatter/cummax form is 0.5 ms — runs mark their start
+            # position (empty runs collapse onto the next start;
+            # max keeps the later id) and a cummax paints run ids
+            # across the window
+            marks = jnp.zeros(capacity, jnp.int32).at[offs - lens].max(
+                jnp.arange(ids.shape[0], dtype=jnp.int32), mode="drop"
             )
+            run = jax.lax.cummax(marks)
             prev = offs[run] - lens[run]
             pos = jnp.clip(lo[run] + (j - prev), 0, nnz_local - 1)
             w = (j < n_tot).astype(jnp.float32)
@@ -1705,6 +1800,245 @@ class SweepEngine:
                 over, rebuild, lambda _: geom_fast, None
             )
 
+        # --- seg backend: LOCAL candidate generation ------------------
+        # A mutation of the pair (fA, fB) only rewrites fragments of
+        # contig(fA) ∪ contig(fB) (ops.py), and the ops are pointwise
+        # masked updates whose only cross-fragment reads are scalar
+        # gathers at fA/fB/neighbour links — all members. So the 24
+        # candidate states are generated in a COMPACT mini-state of
+        # the member fragments (locally renumbered ids/links; contig
+        # ids stay GLOBAL so cis tests and fresh max_id+1 ids remain
+        # genome-consistent) with the UNCHANGED op implementations,
+        # and projected only over the members' contiguous sub-frag
+        # runs. Generation cost per candidate: O(member window), not
+        # O(n_frags) — at 200k fragments the O(n) 5x24 state+projection
+        # materialization was ~146 ms of the 177 ms step.
+
+        def _zeros_parts(pk_rows, params, w=None):
+            """(intra, n_intra) partial sums of the analytic zeros
+            term over packed rows — the two state-dependent pieces of
+            zeros_packed_fast, exposed so candidates can score zeros
+            as a member-window delta."""
+            pos = pk_rows[..., 3]
+            l_cont = pk_rows[..., 4]
+            circ = pk_rows[..., 2] > 0
+            ex = expected_counts_fast(
+                pos * msf, jnp.where(circ, l_cont * msf, 0.0), params
+            )
+            intra_t = jnp.where(pos > 0, -ex * (l_cont - pos), 0.0)
+            ni_t = jnp.where(
+                pos == 0, l_cont * (l_cont - 1.0) / 2.0, 0.0
+            )
+            if w is not None:
+                intra_t = intra_t * w
+                ni_t = ni_t * w
+            return jnp.sum(intra_t, axis=-1), jnp.sum(ni_t, axis=-1)
+
+        def _member_sub_window(fids, fc, mc):
+            """Member sub-frags as (global ids, owner slot, weight,
+            count): sub ids are contiguous per fragment in fragment
+            order (setup.build_sub_index tiling), so the members' subs
+            are a union of static runs of `suboff` — same composition
+            trick as _seg_window. Fill id n_sub => zero-length run."""
+            lo = suboff[fids]
+            lens = suboff[fids + 1] - lo
+            offs = jnp.cumsum(lens)
+            n_smem = offs[-1]
+            js = jnp.arange(mc)
+            marks = jnp.zeros(mc, jnp.int32).at[offs - lens].max(
+                jnp.arange(fc, dtype=jnp.int32), mode="drop"
+            )
+            run = jax.lax.cummax(marks)
+            prev = offs[run] - lens[run]
+            gsub = jnp.clip(lo[run] + (js - prev), 0, n_sub_total - 1)
+            vsub = js < n_smem
+            gsub = jnp.where(vsub, gsub, n_sub_total).astype(jnp.int32)
+            return gsub, run, vsub.astype(jnp.float32), n_smem
+
+        def project_packed_local(st_loc, gsub, run):
+            """project_packed over the member window only: [mc, PACK]
+            rows of one local mutated state (same lanes/formula;
+            contig-id lane carries the GLOBAL ids the local state
+            keeps). Pad slots hold junk — every consumer masks."""
+            jg = j_ext[gsub]
+            wd = w_ext[gsub]
+            cd = c_ext[gsub]
+            ori = st_loc.ori[run]
+            d = jnp.where(ori == 1, wd, cd)
+            pos = jnp.where(
+                ori == 1,
+                st_loc.sub_pos[run] + jg,
+                st_loc.sub_pos[run] + (st_loc.sub_len[run] - 1) - jg,
+            )
+            z = jnp.zeros_like(d)
+            return jnp.stack(
+                [
+                    st_loc.start_bp[run].astype(jnp.float32) / 1000.0
+                    + d,
+                    st_loc.id_c[run].astype(jnp.float32),
+                    st_loc.circ[run].astype(jnp.float32)
+                    * st_loc.l_cont_bp[run].astype(jnp.float32)
+                    / 1000.0,
+                    pos.astype(jnp.float32),
+                    st_loc.sub_l_cont[run].astype(jnp.float32),
+                    z,
+                    z,
+                    z,
+                ],
+                axis=1,
+            )
+
+        def gen_candidate_local(ctx, pair, fc, mc):
+            """24 mutated MINI-states + member-window projections.
+
+            Exact whenever the member counts fit (fc, mc); past the
+            caps the outputs are truncated junk and the candidate's
+            n_sel marker routes it to a bigger tier / the exact
+            full-state fallback (same protocol as scoring overflow).
+            """
+            (state, _, _, _, _, lctx, _, _, id_fA, max_id, params) = ctx
+            id_fB, is_first = pair
+            a_i = state.id_c[id_fA]
+            b_i = state.id_c[id_fB]
+            mem = (state.id_c == a_i) | (state.id_c == b_i)
+            # explicit cumsum+scatter compaction: jnp.nonzero's TPU
+            # lowering measured ~1.5x slower at [5, 50k] under vmap
+            csum = jnp.cumsum(mem.astype(jnp.int32))
+            n_fmem = csum[-1]
+            dst = jnp.where(mem, csum - 1, fc)
+            fids = (
+                jnp.full(fc, nfr, jnp.int32)
+                .at[dst]
+                .set(
+                    jnp.arange(state.n_frags, dtype=jnp.int32),
+                    mode="drop",
+                )
+            )
+            # gather straight from the carried state: the fill index
+            # nfr clamps onto row nfr-1 (jit gather semantics), so
+            # pad slots DUPLICATE the last fragment's row — then the
+            # cheap [fc] fix-up below makes them inert (id_c -2
+            # matches no contig, so no op mask and no frag_at hit
+            # ever selects a pad slot; link fields of pad rows are
+            # only read by the pad rows' own discarded updates).
+            # This replaces a 17-field sentinel-row concat of the
+            # whole state per step, which profiled at ~0.33 ms per
+            # field at 50k frags (pad_clamp fusions).
+            gath = {
+                name: getattr(state, name)[fids]
+                for name in FragState._fields
+            }
+            pad = fids >= nfr
+            gath["id_c"] = jnp.where(pad, -2, gath["id_c"])
+            gath["activ"] = jnp.where(pad, 0, gath["activ"])
+
+            def loc_of(v):
+                return jnp.where(
+                    v < 0,
+                    -1,
+                    jnp.searchsorted(fids, v).astype(jnp.int32),
+                )
+
+            st_loc = FragState(
+                **{
+                    **gath,
+                    "id": jnp.arange(fc, dtype=jnp.int32),
+                    "prev": jnp.where(pad, -1, loc_of(gath["prev"])),
+                    "next": jnp.where(pad, -1, loc_of(gath["next"])),
+                }
+            )
+            a_loc = jnp.searchsorted(fids, id_fA).astype(jnp.int32)
+            b_loc = jnp.searchsorted(fids, id_fB).astype(jnp.int32)
+            stacked_loc, valid = all_candidate_states(
+                st_loc, a_loc, b_loc, max_id, flip_eject=is_first
+            )
+            gsub, run, w_sub, n_smem = _member_sub_window(fids, fc, mc)
+            packed_loc = jax.vmap(
+                lambda s: project_packed_local(s, gsub, run)
+            )(stacked_loc)
+            return (
+                stacked_loc, packed_loc, valid, fids, n_fmem, gsub,
+                run, w_sub, n_smem,
+            )
+
+        def seg_candidate_local(
+            ctx, id_fB, packed_loc, gsub, n_smem, n_fmem, seg_idx, caps
+        ):
+            """seg_candidate's fast branch over LOCAL projections: the
+            24-way rescore gathers member rows from the [24, mc, PACK]
+            window (global sub id -> window slot via searchsorted on
+            the sorted member ids) instead of full [24, n_sub, PACK]
+            projections. Member-capacity overflow joins the tier /
+            full-fallback predicates."""
+            (state, _, _, _, _, _, pp_cur, ll_nz_cur, id_fA, _, params
+             ) = ctx
+            a_i = state.id_c[id_fA]
+            b_i = state.id_c[id_fB]
+            rcap, bcap_, fc, mc = caps
+            geom_arr = pp_cur
+            (sub_ci,) = seg_idx
+            pix_r, w_r, n_row = _seg_rowin(gsub, rcap)
+            dn_r = data_norm[pix_r]
+            pp_r = pp_from_geom(geom_arr[pix_r], dn_r, params)
+            g_r = _g_of(dn_r, params)
+            col_lab = sub_ci[cols[pix_r]]
+            both_w = ((col_lab == a_i) | (col_lab == b_i)) & (w_r > 0)
+            bw_f = both_w.astype(jnp.float32)
+            e_row_pp = jnp.sum(pp_r * w_r)
+            e_row_g = jnp.sum(g_r * w_r)
+            both_pp = jnp.sum(pp_r * bw_f)
+            both_g = jnp.sum(g_r * bw_f)
+            pix_c, w_c, n_colw = _seg_colin(gsub, rcap)
+            dn_c = data_norm[pix_c]
+            e_col_pp = jnp.sum(
+                pp_from_geom(geom_arr[pix_c], dn_c, params) * w_c
+            )
+            e_col_g = jnp.sum(_g_of(dn_c, params) * w_c)
+            cur_slice = e_row_pp + e_col_pp - both_pp
+            g_single = (e_row_g + e_col_g - both_g) - both_g
+            (sel,) = jnp.nonzero(both_w, size=bcap_, fill_value=0)
+            n_both = jnp.sum(both_w)
+            w = (jnp.arange(bcap_) < n_both).astype(jnp.float32)
+            b_idx = pix_r[sel]
+            b_rows = rows[b_idx]
+            b_cols = cols[b_idx]
+            need_t2 = (
+                (n_both > cap)
+                | (n_row > rcap1)
+                | (n_colw > rcap1)
+                | (n_fmem > fcap1)
+                | (n_smem > mcap1)
+            )
+            need_full = (
+                (n_both > seg_cap2)
+                | (n_row > rcap2)
+                | (n_colw > rcap2)
+                | (n_fmem > fcap2)
+                | (n_smem > mcap2)
+            )
+            n_sel = jnp.where(
+                need_full,
+                seg_full_sentinel,
+                jnp.where(
+                    need_t2,
+                    jnp.maximum(n_both, jnp.int32(cap + 1)),
+                    n_both,
+                ),
+            )
+            b_dn = data_norm[b_idx]
+            lrow = jnp.clip(
+                jnp.searchsorted(gsub, b_rows), 0, mc - 1
+            ).astype(jnp.int32)
+            lcol = jnp.clip(
+                jnp.searchsorted(gsub, b_cols), 0, mc - 1
+            ).astype(jnp.int32)
+            ra = jnp.take(packed_loc, lrow, axis=1)
+            ca = jnp.take(packed_loc, lcol, axis=1)
+            pp24 = pp_rows_fast(ra, ca, b_dn[None, :, :], params, msf)
+            nz_both = jnp.sum(pp24 * w[None, :], axis=1)
+            nz24 = ll_nz_cur + psum(g_single - cur_slice + nz_both)
+            return nz24, pmax(n_sel)
+
         # --- candidate scoring: aggregate + dense block ---------------
         # Same cis/trans-split delta as delta_candidate but with ZERO
         # per-pixel index compaction (profiled at 12 ms/step on yeast
@@ -1807,8 +2141,147 @@ class SweepEngine:
             [n_cand,24], n_sel [n_cand]). Under the candidate-sharding
             mesh the overflow rescore cond runs per shard (only shards
             whose local candidates overflow pay the exact pass).
+
+            seg_local mode: stacked/packed are the LOCAL
+            mini-stack/projections (truncated to the member caps);
+            the accept path regenerates the winner in full instead of
+            reading them.
             """
+
+            def local_seg(cand_l, first_l, ctx_l, bagg_l):
+                state = ctx_l[0]
+                lctx = ctx_l[5]
+                id_fA = ctx_l[8]
+                max_id = ctx_l[9]
+                prm = ctx_l[-1]
+
+                def gen_and_score(fc, mc, rc, bc):
+                    gen = jax.vmap(
+                        lambda b, f: gen_candidate_local(
+                            ctx_l, (b, f), fc, mc
+                        )
+                    )(cand_l, first_l)
+                    (stacked_loc, packed_loc, valid, fids, n_fmem,
+                     gsub, run, w_sub, n_smem) = gen
+                    nz, n_sel = jax.vmap(
+                        lambda b, pk, gs, ns, nf: seg_candidate_local(
+                            ctx_l, b, pk, gs, ns, nf, bagg_l,
+                            (rc, bc, fc, mc),
+                        )
+                    )(cand_l, packed_loc, gsub, n_smem, n_fmem)
+
+                    # zeros as a member-window delta against the
+                    # step's (intra_cur, ni_cur) — O(mc) per mutation
+                    # instead of O(n_sub)
+                    def zcand(gs, ws, pk24):
+                        iw_c, nw_c = _zeros_parts(
+                            lctx.packed_cur[gs], prm, ws
+                        )
+                        iw_m, nw_m = jax.vmap(
+                            lambda p1: _zeros_parts(p1, prm, ws)
+                        )(pk24)
+                        intra_m = lctx.intra_cur - iw_c + iw_m
+                        ni_m = lctx.ni_cur - nw_c + nw_m
+                        v = jnp.asarray(prm.v_inter)
+                        return LOG10_E * (
+                            intra_m + (n_pix - ni_m) * (-v)
+                        )
+
+                    zeros = jax.vmap(zcand)(gsub, w_sub, packed_loc)
+                    return (
+                        stacked_loc, packed_loc, valid, nz, n_sel,
+                        zeros, fids, gsub, run,
+                    )
+
+                (stacked_loc, packed_loc, valid, nz, n_sel, zeros,
+                 fids, gsub, run) = gen_and_score(
+                    fcap1, mcap1, rcap1, cap
+                )
+
+                if exact_overflow and seg_cap2 > cap:
+                    over1 = n_sel > cap
+
+                    def tier2_fn(_):
+                        t2 = gen_and_score(
+                            fcap2, mcap2, rcap2, seg_cap2
+                        )
+                        return t2[3], t2[5], t2[2]
+
+                    nz2, zeros2, valid2 = jax.lax.cond(
+                        jnp.any(over1),
+                        tier2_fn,
+                        lambda _: (nz, zeros, valid),
+                        None,
+                    )
+                    nz = jnp.where(over1[:, None], nz2, nz)
+                    zeros = jnp.where(over1[:, None], zeros2, zeros)
+                    valid = jnp.where(over1[:, None], valid2, valid)
+
+                if exact_overflow:
+                    # exact any-scale fallback: serial full-state
+                    # regeneration per (candidate, mutation) — O(n)
+                    # buffers one at a time, validity recomputed on
+                    # the full state (the truncated local get_bounds
+                    # cannot be trusted past the caps)
+                    over2 = n_sel > seg_cap2
+
+                    def full_fb(_):
+                        def per_cand(args):
+                            b, f = args
+                            vfull = candidate_validity(
+                                state, id_fA, b, f
+                            )
+
+                            def per_op(op):
+                                stf = single_candidate_state(
+                                    state, id_fA, b, max_id, op
+                                )
+                                pk = project_packed(stf, idx)
+                                nzv = psum(
+                                    jnp.sum(_pp_all(pk, prm))
+                                )
+                                zv = zeros_packed_fast(
+                                    pk, prm, msf, n_pix
+                                )
+                                return nzv, zv
+
+                            nzs, zvs = jax.lax.map(
+                                per_op,
+                                jnp.arange(
+                                    N_MUTATIONS, dtype=jnp.int32
+                                ),
+                            )
+                            return nzs, zvs, vfull
+
+                        return jax.lax.map(
+                            per_cand, (cand_l, first_l)
+                        )
+
+                    nz_f, z_f, v_f = jax.lax.cond(
+                        jnp.any(over2),
+                        full_fb,
+                        lambda _: (nz, zeros, valid),
+                        None,
+                    )
+                    nz = jnp.where(over2[:, None], nz_f, nz)
+                    zeros = jnp.where(over2[:, None], z_f, zeros)
+                    valid = jnp.where(over2[:, None], v_f, valid)
+
+                scores = jnp.where(valid, nz + zeros, -jnp.inf)
+                # stacked_loc/packed_loc are the (mini) generation
+                # outputs; the accept path regenerates the winner's
+                # STATE in full instead of reading them (so XLA DCEs
+                # what scoring didn't consume) and uses the tier-1
+                # member windows (the aux sixth element) to update
+                # the carried projection by scatter
+                return (
+                    stacked_loc, packed_loc, scores, nz, n_sel,
+                    (fids, gsub, run),
+                )
+
             def local(cand_l, first_l, ctx_l, bagg_l):
+                if seg and seg_local_on:
+                    return local_seg(cand_l, first_l, ctx_l, bagg_l)
                 stacked, packed, valid = jax.vmap(
                     lambda b, f: gen_candidate(ctx_l, (b, f))
                 )(cand_l, first_l)
@@ -1944,26 +2417,22 @@ class SweepEngine:
                 return stacked, packed, scores, nz, n_sel
 
             if mesh is None:
-                stacked, packed, scores, nz, n_sel = local(
-                    cand, first, ctx, bagg
-                )
-            else:
-                from jax.sharding import PartitionSpec as P
+                return local(cand, first, ctx, bagg)
 
-                try:
-                    from jax import shard_map
-                except ImportError:  # older jax
-                    from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
 
-                stacked, packed, scores, nz, n_sel = shard_map(
-                    local,
-                    mesh=mesh,
-                    in_specs=(P("shards"), P("shards"), P(), P()),
-                    out_specs=P("shards"),
-                    check_vma=False,
-                )(cand, first, ctx, bagg)
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
 
-            return stacked, packed, scores, nz, n_sel
+            return shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P("shards"), P("shards"), P(), P()),
+                out_specs=P("shards"),
+                check_vma=False,
+            )(cand, first, ctx, bagg)
 
         # --- exact incremental pp_cur update after an accepted move --
         def update_pp(
@@ -2104,12 +2573,32 @@ class SweepEngine:
         # --- one sweep step ------------------------------------------
         def sweep_step(carry, inputs):
             id_fA, key, do_nuis = inputs
-            state, params, ll_t, pp_cur, ll_nz_cur = carry
+            if seg and seg_local_on:
+                # local mode carries the [n_sub, PACK] projection and
+                # updates it by member-window scatter after accepts:
+                # the full projection's 8 O(n_sub) endpoint gathers
+                # (profiled ~0.33 ms EACH at 50k subs, twice per step)
+                # happen once per CHUNK, at the boundary. Per-step
+                # contig renumbering is skipped too: scoring only ever
+                # compares contig ids for equality, so the compaction
+                # sort buys nothing inside the scan (ids stay bounded
+                # by the chunk-boundary renumber + <=3 fresh ids per
+                # accepted move). n_contigs needs no compaction:
+                # every contig has exactly one pos==0 fragment.
+                (state, params, ll_t, pp_cur, ll_nz_cur,
+                 packed_cur) = carry
+                n_contigs = jnp.sum(state.pos == 0).astype(jnp.int32)
+                mean_len = (
+                    jnp.float32(self.n_frags)
+                    / n_contigs.astype(jnp.float32)
+                )
+                max_id = jnp.max(state.id_c)
+            else:
+                state, params, ll_t, pp_cur, ll_nz_cur = carry
+                state, n_contigs, mean_len = renumber_contigs(state)
+                max_id = (n_contigs - 1).astype(jnp.int32)
+                packed_cur = project_packed(state, idx)
             k_nb, k_nuis = jax.random.split(key)
-
-            state, n_contigs, mean_len = renumber_contigs(state)
-            max_id = (n_contigs - 1).astype(jnp.int32)
-            packed_cur = project_packed(state, idx)
             if block:
                 # dense current-genome score matrix + contig-pair
                 # aggregates via one-hot matmuls: P[c1,c2] = U^T X U
@@ -2156,6 +2645,18 @@ class SweepEngine:
                     pp_arr = geom_c
                     row_c = col_c = row_p = col_p = g_trans = z
                     bagg = (sub_ci,)
+                    if seg_local_on:
+                        # local-generation context: the current
+                        # genome's zeros partial sums (candidates
+                        # score zeros as a window delta against them)
+                        intra_cur, ni_cur = _zeros_parts(
+                            packed_cur, params
+                        )
+                        g_trans = SegLocalCtx(
+                            packed_cur=packed_cur,
+                            intra_cur=intra_cur,
+                            ni_cur=ni_cur,
+                        )
                 else:
                     # shard layout: per-shard label gathers + a sorted
                     # contig-pair-code index shared by all candidates
@@ -2217,9 +2718,11 @@ class SweepEngine:
                 pp_arr if seg else pp_cur,
                 ll_nz_cur, id_fA, max_id, params,
             )
-            stacked, packed_c, scores, nz_c, n_sel = score_all(
-                ctx, cand, first, bagg
-            )
+            out_sc = score_all(ctx, cand, first, bagg)
+            if seg and seg_local_on:
+                stacked, packed_c, scores, nz_c, n_sel, laux = out_sc
+            else:
+                stacked, packed_c, scores, nz_c, n_sel = out_sc
             n_overflow = jnp.sum(n_sel > (bcap if block else cap))
             slice_max = jnp.max(n_sel)
             flat = scores.reshape(-1)
@@ -2230,10 +2733,97 @@ class SweepEngine:
 
             cA = state.id_c[id_fA].astype(jnp.float32)
             cB = state.id_c[id_fB].astype(jnp.float32)
-            # select the accepted state/projection from the candidate
-            # stack instead of re-generating the 24 mutations
-            new_state = jax.tree.map(lambda a: a[cand_i, op], stacked)
-            new_packed = packed_c[cand_i, op]
+            if seg and seg_local_on:
+                # local mode: the stack holds truncated MINI-states —
+                # regenerate the winner's STATE in full (ONE O(n)
+                # elementwise mutation via lax.switch, exact at any
+                # member-window size; a select-from-local-stack +
+                # per-field scatter variant measured slower through
+                # the cond's whole-state copies), then update the
+                # carried projection by scattering the winner's
+                # freshly-projected member rows — mutations only
+                # change the old pair's member fragments, so every
+                # other packed row is bit-identical. The winner's
+                # tier-1 member window (aux) covers the common case;
+                # overflowed winners recompute members at tier-2 caps
+                # or fall back to the full projection under rare
+                # conds whose outputs are just the [n_sub, 8] matrix.
+                new_state = single_candidate_state(
+                    state, id_fA, id_fB, max_id, op
+                )
+                fids_all, gsub_all, run_all = laux
+
+                def _project_members(fids_w, gsub_w, run_w):
+                    st_l = _types.SimpleNamespace(
+                        **{
+                            f: getattr(new_state, f)[fids_w]
+                            for f in (
+                                "ori", "sub_pos", "sub_len",
+                                "start_bp", "id_c", "circ",
+                                "l_cont_bp", "sub_l_cont",
+                            )
+                        }
+                    )
+                    rows_new = project_packed_local(
+                        st_l, gsub_w, run_w
+                    )
+                    return packed_cur.at[gsub_w].set(
+                        rows_new, mode="drop"
+                    )
+
+                def t1_upd(_):
+                    return _project_members(
+                        fids_all[cand_i], gsub_all[cand_i],
+                        run_all[cand_i],
+                    )
+
+                def slow_upd(_):
+                    def full_upd(_):
+                        return project_packed(new_state, idx)
+
+                    def t2_upd(_):
+                        a0 = state.id_c[id_fA]
+                        b0 = state.id_c[id_fB]
+                        mem = (state.id_c == a0) | (
+                            state.id_c == b0
+                        )
+                        csum = jnp.cumsum(mem.astype(jnp.int32))
+                        dst = jnp.where(mem, csum - 1, fcap2)
+                        fids_w = (
+                            jnp.full(fcap2, nfr, jnp.int32)
+                            .at[dst]
+                            .set(
+                                jnp.arange(
+                                    self.n_frags, dtype=jnp.int32
+                                ),
+                                mode="drop",
+                            )
+                        )
+                        gsub_w, run_w, _, _ = _member_sub_window(
+                            fids_w, fcap2, mcap2
+                        )
+                        return _project_members(
+                            fids_w, gsub_w, run_w
+                        )
+
+                    return jax.lax.cond(
+                        n_sel[cand_i] > seg_cap2,
+                        full_upd,
+                        t2_upd,
+                        None,
+                    )
+
+                new_packed = jax.lax.cond(
+                    n_sel[cand_i] <= cap, t1_upd, slow_upd, None
+                )
+            else:
+                # select the accepted state/projection from the
+                # candidate stack instead of re-generating the 24
+                # mutations
+                new_state = jax.tree.map(
+                    lambda a: a[cand_i, op], stacked
+                )
+                new_packed = packed_c[cand_i, op]
 
             if block:
                 new_pad = jnp.pad(new_packed, ((0, 1), (0, 0)))
@@ -2425,6 +3015,11 @@ class SweepEngine:
                 "slice_max": slice_max,
                 "dist_init_genome": dist_fn(new_state),
             }
+            if seg and seg_local_on:
+                return (
+                    new_state, params, ll_t, pp_cur, ll_nz_cur,
+                    new_packed,
+                ), trace
             return (new_state, params, ll_t, pp_cur, ll_nz_cur), trace
 
         def init_cache(state, params):
@@ -2458,6 +3053,26 @@ class SweepEngine:
             single-call cycle (some TPU transports kill any single
             execution past ~60 s — see SweepEngine(steps_per_call=)).
             """
+            if seg and seg_local_on:
+                # chunk-boundary prologue: one contig renumbering
+                # (headroom covers the ids any previous un-renumbered
+                # chunk could have minted: <= 3 per accepted step, at
+                # most one cycle of n_frags steps between renumbers)
+                # and ONE full projection, both amortized over the
+                # whole chunk — the scan maintains the projection by
+                # member scatter and never renumbers (see sweep_step)
+                state = renumber_contigs(
+                    state, headroom=3 * self.n_frags + 8
+                )[0]
+                packed0 = project_packed(state, idx)
+                (state, params, ll_t, pp, nz, _), traces = (
+                    jax.lax.scan(
+                        sweep_step,
+                        (state, params, ll_t, pp, nz, packed0),
+                        (order, keys, flags),
+                    )
+                )
+                return state, params, ll_t, pp, nz, traces
             (state, params, ll_t, pp, nz), traces = jax.lax.scan(
                 sweep_step,
                 (state, params, ll_t, pp, nz),

@@ -41,6 +41,11 @@ def main():
     # regime where every window overflows to the exact full pass.
     ap.add_argument("--frags-per-contig", type=int, default=20)
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument(
+        "--seg-local", default="auto", choices=("auto", "0", "1"),
+        help="local candidate generation: mutate only the pair's "
+        "member fragments in a compact mini-state (default auto)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -69,9 +74,13 @@ def main():
     mesh = make_mesh(chains=1)
     n_sh = mesh.shape["shards"]
     t0 = time.perf_counter()
+    seg_local = (
+        "auto" if args.seg_local == "auto" else args.seg_local == "1"
+    )
     eng = SweepEngine(
         sim, backend="auto", sample_param=True, mesh=mesh,
         shard_nnz=True, steps_per_call=args.steps,
+        seg_local=seg_local,
     )
     t_build = time.perf_counter() - t0
     assert eng.backend == "seg", eng.backend
@@ -111,6 +120,7 @@ def main():
         "device": jax.devices()[0].platform,
         "n_shards": n_sh,
         "backend": eng.backend,
+        "seg_local": eng.seg_local,
         "sim_build_s": round(t_sim, 1),
         "engine_build_s": round(t_build, 1),
         "init_cache_s": round(t_init, 1),

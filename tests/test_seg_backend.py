@@ -249,6 +249,70 @@ class TestSegBackend:
         finally:
             del os.environ["INSTAGRAAL_TPU_SEG_SORTED"]
 
+    def test_local_generation_matches_full(self, ssim, full_run):
+        """Local candidate generation (compact member mini-states,
+        member-window projections, delta zeros) reproduces the full
+        backend's trajectory — generation is O(member window), not
+        O(n_frags), but exact whenever the member caps hold."""
+        eng = SweepEngine(
+            ssim, backend="seg", sample_param=False, seg_local=True
+        )
+        assert eng.seg_local
+        _, _, _, tr = eng.run_cycle(
+            ssim.state, ssim.params, full_run["ll0"],
+            jax.random.PRNGKey(1), sample_param=False,
+        )
+        assert_trajectory_matches(full_run["traces"][False], tr)
+
+    def test_local_generation_nuisance(self, ssim, full_run):
+        eng = SweepEngine(
+            ssim, backend="seg", sample_param=True, seg_local=True
+        )
+        _, _, _, tr = eng.run_cycle(
+            ssim.state, ssim.params, full_run["ll0"],
+            jax.random.PRNGKey(1), sample_param=True,
+        )
+        ref = full_run["traces"][True]
+        assert_trajectory_matches(ref, tr)
+        np.testing.assert_array_equal(ref["success"], tr["success"])
+
+    def test_local_tiny_member_caps_exact_fallback(
+        self, ssim, full_run
+    ):
+        """Member-capacity overflow in the local path must stay exact:
+        tier-1 caps far below any real pair force every candidate
+        through the tier-2 re-generation, and caps below tier 2 route
+        through the per-candidate full-state regeneration (validity
+        recomputed on the full state)."""
+        eng = SweepEngine(
+            ssim, backend="seg", sample_param=False, seg_local=True,
+            _seg_local_caps=(2, 4), exact_overflow=True,
+        )
+        assert eng.seg_fcaps[0] == 2 and eng.seg_mcaps[0] == 4
+        _, _, _, tr = eng.run_cycle(
+            ssim.state, ssim.params, full_run["ll0"],
+            jax.random.PRNGKey(1), sample_param=False,
+        )
+        assert_trajectory_matches(full_run["traces"][False], tr)
+
+    def test_local_generation_shard_nnz(self, ssim, full_run):
+        """Local generation composes with the pixel-sharded layout:
+        windows per shard, generation replicated, psum-closed sums."""
+        from instagraal_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        mesh = make_mesh(chains=1)
+        eng = SweepEngine(
+            ssim, backend="seg", sample_param=False, mesh=mesh,
+            shard_nnz=True, seg_local=True,
+        )
+        _, _, _, tr = eng.run_cycle(
+            ssim.state, ssim.params, full_run["ll0"],
+            jax.random.PRNGKey(1), sample_param=False,
+        )
+        assert_trajectory_matches(full_run["traces"][False], tr)
+
     def test_auto_backend_beyond_envelope(self):
         """Past the block envelope (n_sub > 6144) with >=16384 nnz the
         auto backend must resolve to seg, at any fragment count (the
