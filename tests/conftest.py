@@ -19,6 +19,20 @@ if not os.environ.get("INSTAGRAAL_TPU_REAL_DEVICE"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: virtual-mesh compiles dominate the suite's
+# wall time (~35 min cold), and XLA:CPU executables cache fine — a warm
+# re-run skips them. Keyed per XLA_FLAGS automatically, so the 8-device
+# entries don't collide with single-device ones.
+import pathlib as _pathlib
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    str(_pathlib.Path(__file__).resolve().parents[1] / ".jax_test_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pathlib
 
 import pytest
