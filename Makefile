@@ -47,6 +47,11 @@ stats:
 test:
 	python -m pytest tests/ -q
 
+# fast dev loop: skips the slow-marked virtual-mesh/yeast-scale tests
+# (~43 min cold for test_device_sweep + test_parallel alone)
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
 native:
 	g++ -O3 -shared -fPIC -std=c++17 instagraal_tpu/native/pairs_scan.cpp \
 	  -lz -o instagraal_tpu/native/libpairs_scan.so

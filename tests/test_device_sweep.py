@@ -1,8 +1,20 @@
-"""Tests for the on-device scan sweep engine and sliced scoring."""
+"""Tests for the on-device scan sweep engine and sliced scoring.
+
+Marked `slow` as a module: measured cold durations are 13-146 s/test
+(virtual-mesh compiles dominate; 59 tests across this file and
+test_parallel.py took ~43 min cold — most of the suite's wall time).
+CI and a plain `pytest tests/` run everything; the fast dev loop is
+`pytest -m 'not slow'`, and touching the engine still warrants
+`pytest tests/test_device_sweep.py` directly (file selection is not
+affected by the marker). The persistent compile cache in conftest.py
+makes warm re-runs far cheaper than these cold numbers.
+"""
 
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from instagraal_tpu.sampler.device_sweep import (
     NeighbourTable,

@@ -1,8 +1,14 @@
-"""Multi-device tests on the virtual 8-device CPU mesh."""
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Marked `slow` as a module (13-132 s/test cold, mesh compiles dominate;
+see test_device_sweep.py's module docstring for the tiering policy).
+"""
 
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from instagraal_tpu.model.likelihood import genome_log_likelihood
 from instagraal_tpu.parallel import make_mesh, make_sharded_likelihood
