@@ -1166,6 +1166,65 @@ class SweepEngine:
         self._run_cycle = jax.jit(cycle_fn)
         self._initial_ll = jax.jit(initial_fn)
 
+        if mesh is not None:
+            # Pin the carried operands (state/params/ll) to the mesh
+            # BEFORE the first call. Without this the first call sees
+            # host arrays (aval sharding {}) while every later call
+            # sees the previous call's mesh-committed outputs (aval
+            # {Auto: mesh}): a different tracing-cache key, so the
+            # SECOND call silently retraced and recompiled the whole
+            # cycle — ~80-450 s at yeast-L2, the entire round-4
+            # "sharded seg is 17-27x slower" regression
+            # (docs/seg_shard_probe.json: per-chunk times were
+            # [313.7, 8.85, 8.78] ms/step; probes that averaged chunks
+            # reported the poisoned mean). device_put is a no-op for
+            # arrays already in the target sharding, so steady-state
+            # calls pay nothing.
+            _rep_sh = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+
+            def _place_carry(tree):
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, _rep_sh), tree
+                )
+
+            self._place_carry = _place_carry
+            _chunk_jit = self._run_chunk
+            _init_jit = self._init_cache
+            _cycle_jit = self._run_cycle
+            _ill_jit = self._initial_ll
+
+            def _chunk_placed(state, params, ll_t, pp, nz, order, keys,
+                              flags):
+                state, params, ll_t = _place_carry(
+                    (state, params, ll_t)
+                )
+                return _chunk_jit(
+                    state, params, ll_t, pp, nz, order, keys, flags
+                )
+
+            def _init_placed(state, params):
+                state, params = _place_carry((state, params))
+                return _init_jit(state, params)
+
+            def _cycle_placed(state, params, ll_t, key, flags):
+                state, params, ll_t = _place_carry(
+                    (state, params, ll_t)
+                )
+                return _cycle_jit(state, params, ll_t, key, flags)
+
+            def _ill_placed(state, params):
+                state, params = _place_carry((state, params))
+                return _ill_jit(state, params)
+
+            self._run_chunk = _chunk_placed
+            self._init_cache = _init_placed
+            self._run_cycle = _cycle_placed
+            self._initial_ll = _ill_placed
+        else:
+            self._place_carry = lambda tree: tree
+
     def _make_cycle(
         self, idx, rows, cols, data_norm, dn_dense, msf, n_pix, n_cand,
         cap, cap_upd, n_bounds, dist_fn, backend, wide_rows,
@@ -3571,12 +3630,17 @@ class MultiChainSweep:
             return self._run_cycle_chunked(
                 states, params_all, lls, keys, flags, spc
             )
-        states, params_all, lls, traces = self._cycle_all(
+        # pin the carry to the mesh so the first call's tracing key
+        # matches later calls' mesh-committed outputs (the SweepEngine
+        # carry-placement fix, applied to the chain batch): without it
+        # the second cycle silently retraced + recompiled
+        states, params_all, lls3 = self._put((
             states,
             jax.tree.map(jnp.asarray, params_all),
             jnp.asarray(lls, dtype=jnp.float32),
-            keys,
-            flags,
+        ))
+        states, params_all, lls, traces = self._cycle_all(
+            states, params_all, lls3, keys, flags,
         )
         traces = {k: np.asarray(v) for k, v in traces.items()}
         return states, params_all, np.asarray(lls), traces
@@ -3615,9 +3679,14 @@ class MultiChainSweep:
     ):
         n = self.engine.n_frags
         orders, step_keys = self._derive(keys)
-        params_all = jax.tree.map(jnp.asarray, params_all)
+        # same carry-pinning as run_cycle: keep every call's tracing
+        # key identical to the mesh-committed steady state
+        states, params_all, ll = self._put((
+            states,
+            jax.tree.map(jnp.asarray, params_all),
+            jnp.asarray(lls, dtype=jnp.float32),
+        ))
         pp, nz = self._init_cache_all(states, params_all)
-        ll = jnp.asarray(lls, dtype=jnp.float32)
         chunks = []
         for s in range(0, n, spc):
             e = min(s + spc, n)

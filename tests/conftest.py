@@ -21,8 +21,9 @@ if not os.environ.get("INSTAGRAAL_TPU_REAL_DEVICE"):
 
 # Persistent compile cache: virtual-mesh compiles dominate the suite's
 # wall time (~35 min cold), and XLA:CPU executables cache fine — a warm
-# re-run skips them. Keyed per XLA_FLAGS automatically, so the 8-device
-# entries don't collide with single-device ones.
+# re-run skips them. Mesh-shape differences are captured via the compile
+# options in the cache key (device assignment / num_partitions), so the
+# 8-device entries don't collide with single-device ones.
 import pathlib as _pathlib
 
 import jax as _jax

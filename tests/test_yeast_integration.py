@@ -25,10 +25,13 @@ YEAST_CONTIGS = pathlib.Path(
     )
 )
 
-pytestmark = pytest.mark.skipif(
-    not YEAST_CONTIGS.exists() and not os.environ.get("INSTAGRAAL_TPU_SLOW"),
-    reason="yeast contigs not available",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not YEAST_CONTIGS.exists() and not os.environ.get("INSTAGRAAL_TPU_SLOW"),
+        reason="yeast contigs not available",
+    ),
+]
 
 CYCLES = 2
 LEVEL = 5
