@@ -288,6 +288,19 @@ def _bench_beyond_envelope():
         "note": "past the 6144-sub-frag block envelope; round-2 "
         "delta fallback measured 19-30 steps/s at comparable shapes",
     }
+    # sharded row (VERDICT r4 #1 tripwire): the same seg chunk under
+    # shard_nnz on a 1-device mesh — the exact graph BASELINE config
+    # #5 runs per shard. Steady-state per-chunk times; ratio vs the
+    # replicated row above must stay <= 1.5 (the round-4 regression
+    # shipped because only the L4 flagship had a tripwire).
+    if engine.backend == "seg":
+        try:
+            out["sharded"] = _bench_seg_sharded(
+                sim, params, state, rate
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"bench: sharded seg row skipped ({e})",
+                  file=sys.stderr)
     if engine.backend == "seg":
         out["capacities"] = {
             "tier1": int(engine.slice_capacity),
@@ -311,6 +324,64 @@ def _bench_beyond_envelope():
                 f"bench: seg roofline skipped ({e})", file=sys.stderr
             )
     return out
+
+
+def _bench_seg_sharded(sim, params, state, rep_rate):
+    """Time the sharded (shard_nnz) seg chunk at yeast-L2 and compare
+    against the replicated rate measured in the same session."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instagraal_tpu.parallel.mesh import make_mesh
+    from instagraal_tpu.sampler.device_sweep import SweepEngine
+
+    mesh = make_mesh(chains=1)
+    eng = SweepEngine(
+        sim, backend="seg", sample_param=True, mesh=mesh,
+        shard_nnz=True, steps_per_call=256,
+    )
+    spc = eng.steps_per_call
+    key = jax.random.PRNGKey(0)
+    k_perm, k_steps = jax.random.split(key)
+    order = jax.random.permutation(k_perm, eng.n_frags).astype(
+        jnp.int32
+    )
+    keys = jax.random.split(k_steps, eng.n_frags)
+    flags = np.ones(eng.n_frags, dtype=bool)
+    p = jax.tree.map(jnp.asarray, params)
+    pp, nz = eng._init_cache(state, p)
+    llj = jnp.float32(0.0)
+    st, p2, llj, pp, nz, _ = eng._run_chunk(  # compile
+        state, p, llj, pp, nz, order[:spc], keys[:spc], flags[:spc]
+    )
+    jax.block_until_ready(llj)
+    times = []
+    for c in range(1, 4):
+        s, e = c * spc, min((c + 1) * spc, eng.n_frags)
+        if s >= e:
+            break
+        t0 = time.perf_counter()
+        st, p2, llj, pp, nz, _ = eng._run_chunk(
+            st, p2, llj, pp, nz, order[s:e], keys[s:e], flags[s:e]
+        )
+        jax.block_until_ready(llj)
+        times.append((time.perf_counter() - t0) / (e - s) * 1e3)
+    ms = min(times)
+    ratio = (ms / 1e3) * rep_rate  # = sharded_ms / replicated_ms
+    row = {
+        "ms_per_step_runs": [round(t, 2) for t in times],
+        "steps_per_sec": round(1e3 / ms, 1),
+        "seg_local": bool(eng.seg_local),
+        "sharded_over_replicated": round(ratio, 2),
+    }
+    if ratio > 1.5:
+        row["regression"] = (
+            f"SEG SHARD REGRESSION: sharded step is {ratio:.2f}x the "
+            f"replicated step (target <= 1.5x)"
+        )
+        print(row["regression"], file=sys.stderr, flush=True)
+    return row
 
 
 if __name__ == "__main__":

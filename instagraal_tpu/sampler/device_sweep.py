@@ -1222,8 +1222,22 @@ class SweepEngine:
             self._init_cache = _init_placed
             self._run_cycle = _cycle_placed
             self._initial_ll = _ill_placed
+            # raw jits, exposed so tests can assert the one-compile
+            # invariant (_cache_size() == 1 after repeated calls)
+            self._jits = {
+                "chunk": _chunk_jit,
+                "init_cache": _init_jit,
+                "cycle": _cycle_jit,
+                "initial_ll": _ill_jit,
+            }
         else:
             self._place_carry = lambda tree: tree
+            self._jits = {
+                "chunk": self._run_chunk,
+                "init_cache": self._init_cache,
+                "cycle": self._run_cycle,
+                "initial_ll": self._initial_ll,
+            }
 
     def _make_cycle(
         self, idx, rows, cols, data_norm, dn_dense, msf, n_pix, n_cand,

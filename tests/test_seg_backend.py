@@ -352,3 +352,60 @@ class TestSegBackend:
         assert eng.slice_capacity == 8
         assert eng.seg_cap2 >= 32
         assert eng.update_capacity == eng.seg_updcaps[1]
+
+
+class TestMeshCompileOnce:
+    """Round-5 regression net for the hidden-retrace bug: on a
+    mesh-attached engine, every entry point must compile exactly once
+    across repeated calls. Before the carry-placement fix the first
+    call keyed on host avals ({}) and the second on mesh-committed
+    avals ({Auto: mesh}), so call 2 silently retraced and recompiled
+    the whole cycle (~80-450 s at yeast-L2 — the entire round-4
+    'sharded seg is 17-27x slower' artifact,
+    docs/seg_shard_probe.json resolution_r5)."""
+
+    def test_sharded_chunk_compiles_once(self, ssim):
+        import jax.numpy as jnp
+
+        from instagraal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(chains=1)
+        eng = SweepEngine(
+            ssim, backend="seg", sample_param=True, mesh=mesh,
+            shard_nnz=True, steps_per_call=8, seg_local=False,
+        )
+        p = jax.tree.map(jnp.asarray, ssim.params)
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        order = jax.random.permutation(k1, eng.n_frags).astype(
+            jnp.int32
+        )
+        keys = jax.random.split(k2, eng.n_frags)
+        flags = np.ones(8, dtype=bool)
+        pp, nz = eng._init_cache(ssim.state, p)
+        ll = jnp.float32(0.0)
+        st, p2 = ssim.state, p
+        for c in range(3):
+            s = slice(c * 8, (c + 1) * 8)
+            st, p2, ll, pp, nz, _ = eng._run_chunk(
+                st, p2, ll, pp, nz, order[s], keys[s], flags
+            )
+        jax.block_until_ready(ll)
+        assert eng._jits["chunk"]._cache_size() == 1
+        assert eng._jits["init_cache"]._cache_size() == 1
+
+    def test_sharded_run_cycle_compiles_once(self, ssim):
+        from instagraal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(chains=1)
+        eng = SweepEngine(
+            ssim, backend="seg", sample_param=True, mesh=mesh,
+            shard_nnz=True, seg_local=False,
+        )
+        ll = eng.initial_ll(ssim.state, ssim.params)
+        st, pr = ssim.state, ssim.params
+        for i in range(2):
+            st, pr, ll, _ = eng.run_cycle(
+                st, pr, ll, jax.random.PRNGKey(i)
+            )
+        assert eng._jits["cycle"]._cache_size() == 1
