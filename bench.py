@@ -116,11 +116,14 @@ def main():
     ll = engine.initial_ll(state, params)
     key = jax.random.PRNGKey(0)
 
+    t_setup = time.perf_counter() - T_START
     print("bench: compiling cycle...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     key, sub = jax.random.split(key)
     state, params, ll, _ = engine.run_cycle(
         state, params, ll, sub, sample_param=True
     )
+    t_compile = time.perf_counter() - t0
 
     print("bench: timing...", file=sys.stderr, flush=True)
     from instagraal_tpu.utils.profiling import PhaseTimer
@@ -201,6 +204,11 @@ def main():
         "vs_baseline": round(
             steps_per_sec / REFERENCE_STEPS_PER_SEC, 3
         ),
+        # time-to-first-step decomposition (VERDICT r4 #5): setup =
+        # data/pyramid/param-fit host work, compile = first cycle call
+        # (persistent XLA cache makes warm re-runs seconds)
+        "setup_s": round(t_setup, 1),
+        "first_cycle_compile_s": round(t_compile, 1),
     }
     if sol is not None:
         result["speed_of_light"] = sol

@@ -88,6 +88,9 @@ class Scaffolder:
         hardware, not just the built-in cost model ("model" keeps the
         model alone). An int overrides; None forces the whole cycle
         into one call."""
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         kw = {}
         if size_pyramid is not None:
             kw["size_pyramid"] = size_pyramid
