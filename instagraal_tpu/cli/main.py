@@ -174,6 +174,27 @@ from ..log import set_level
     ),
 )
 @click.option(
+    "--exchange-every",
+    default=0,
+    show_default=True,
+    type=int,
+    help=(
+        "With --chains C: every N cycles, re-seed chains trailing "
+        "the best chain by more than --exchange-thresh log-units "
+        "from the best chain's genome+parameters (elitist exchange; "
+        "per-chain PRNG streams keep them diverging). 0 = "
+        "independent chains."
+    ),
+)
+@click.option(
+    "--exchange-thresh",
+    default=0.0,
+    show_default=True,
+    type=float,
+    help="Likelihood lag (log-units) beyond which --exchange-every "
+    "re-seeds a chain.",
+)
+@click.option(
     "--profile",
     default=None,
     type=click.Path(),
@@ -204,6 +225,8 @@ def main(
     resume,
     slice_cap,
     chains,
+    exchange_every,
+    exchange_thresh,
     steps_per_call,
     shard_nnz,
     profile,
@@ -246,6 +269,8 @@ def main(
             else int(slice_cap)
         ),
         chains=chains,
+        exchange_every=exchange_every,
+        exchange_thresh=exchange_thresh,
         shard_nnz=shard_nnz,
         steps_per_call=(
             "auto" if steps_per_call is None else steps_per_call

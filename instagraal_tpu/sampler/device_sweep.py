@@ -123,6 +123,39 @@ SEG_ID_SLACK = 16
 SEG_LOCAL_MIN_FRAGS = 1024
 
 
+# Per-step behaviour traces, packed in-graph into ONE f32 [K] vector
+# (scan stacks them to [T, K]) so a cycle's traces cross the
+# host<->device boundary in a single transfer. 15 separate per-key
+# D2H fetches measured 0.39 s per yeast-L4 cycle on the tunneled v5e
+# — 35% of the whole cycle wall time. Integer lanes ride f32 exactly
+# up to 2^24 (ids/counts are < n_frags; slice_max is diagnostic-only
+# past that).
+TRACE_KEYS = (
+    "likelihood", "op", "id_fA", "id_fB", "n_contigs", "mean_len",
+    "fact", "slope", "d_max", "d_nuc", "d", "success",
+    "slice_overflow", "slice_max", "dist_init_genome",
+)
+_TRACE_INT = {
+    "op", "id_fA", "id_fB", "n_contigs", "slice_overflow", "slice_max"
+}
+_TRACE_BOOL = {"success"}
+
+
+def traces_to_host(packed) -> dict:
+    """Unpack a [..., T, K] packed trace array into the host-facing
+    dict of numpy arrays (the engine's public trace API)."""
+    a = np.asarray(packed)
+    out = {}
+    for i, k in enumerate(TRACE_KEYS):
+        v = a[..., i]
+        if k in _TRACE_INT:
+            v = v.astype(np.int32)
+        elif k in _TRACE_BOOL:
+            v = v.astype(bool)
+        out[k] = v
+    return out
+
+
 class SegLocalCtx(NamedTuple):
     """Per-step context for the seg backend's local candidate path.
 
@@ -3071,23 +3104,16 @@ class SweepEngine:
                     do_nuis, with_nuis, without_nuis, None
                 )
 
-            trace = {
-                "likelihood": ll_t,
-                "op": op,
-                "id_fA": id_fA,
-                "id_fB": id_fB,
-                "n_contigs": n_contigs,
-                "mean_len": mean_len,
-                "fact": params.fact,
-                "slope": params.slope,
-                "d_max": params.d_max,
-                "d_nuc": params.v_inter,
-                "d": params.d,
-                "success": accepted,
-                "slice_overflow": n_overflow,
-                "slice_max": slice_max,
-                "dist_init_genome": dist_fn(new_state),
-            }
+            # packed trace vector (see TRACE_KEYS; one D2H per cycle)
+            trace = jnp.stack([
+                jnp.asarray(v, jnp.float32)
+                for v in (
+                    ll_t, op, id_fA, id_fB, n_contigs, mean_len,
+                    params.fact, params.slope, params.d_max,
+                    params.v_inter, params.d, accepted, n_overflow,
+                    slice_max, dist_fn(new_state),
+                )
+            ])
             if seg and seg_local_on:
                 return (
                     new_state, params, ll_t, pp_cur, ll_nz_cur,
@@ -3308,7 +3334,7 @@ class SweepEngine:
                     "margin); chunking subsequent cycles at "
                     "steps_per_call=%d", elapsed, self.steps_per_call,
                 )
-            traces = {k: np.asarray(v) for k, v in traces.items()}
+            traces = traces_to_host(traces)
             return state, params, ll, traces
 
         k_perm, k_steps = jax.random.split(key)
@@ -3327,10 +3353,9 @@ class SweepEngine:
                 order[s:e], keys[s:e], flags[s:e],
             )
             chunks.append(tr)
-        traces = {
-            k: np.concatenate([np.asarray(t[k]) for t in chunks])
-            for k in chunks[0]
-        }
+        traces = traces_to_host(
+            np.concatenate([np.asarray(t) for t in chunks], axis=0)
+        )
         return state, params, float(ll), traces
 
     def initial_ll(self, state: FragState, params: RippeParams) -> float:
@@ -3656,7 +3681,7 @@ class MultiChainSweep:
         states, params_all, lls, traces = self._cycle_all(
             states, params_all, lls3, keys, flags,
         )
-        traces = {k: np.asarray(v) for k, v in traces.items()}
+        traces = traces_to_host(traces)
         return states, params_all, np.asarray(lls), traces
 
     def _run_cycle_sequential(
@@ -3709,14 +3734,44 @@ class MultiChainSweep:
                 orders[:, s:e], step_keys[:, s:e], flags[s:e],
             )
             chunks.append(tr)
-        traces = {
-            k: np.concatenate(
-                [np.asarray(t[k]) for t in chunks], axis=1
-            )
-            for k in chunks[0]
-        }
+        traces = traces_to_host(
+            np.concatenate([np.asarray(t) for t in chunks], axis=1)
+        )
         return states, params_all, np.asarray(ll), traces
 
     def best(self, states, lls):
         c = int(np.argmax(lls))
         return jax.tree.map(lambda a: a[c], states), float(lls[c])
+
+    def restart_from_best(
+        self, states, params_all, lls, thresh: float = 0.0
+    ):
+        """Elitist chain exchange: re-seed lagging chains from the
+        best chain.
+
+        Chains whose likelihood trails the best by more than `thresh`
+        log-units adopt the best chain's genome, parameters and
+        likelihood; their PRNG streams stay their own, so they diverge
+        again from the next cycle. Independent chains measured only
+        1.0-1.9x cycles-to-target at C=8 (docs/tts_yeast_l4.json) —
+        this is the algorithmic lever on the chains axis beyond
+        independence. Returns (states, params_all, lls, n_restarted).
+        """
+        lls_h = np.asarray(lls, dtype=np.float64)
+        best_c = int(np.argmax(lls_h))
+        mask = (lls_h[best_c] - lls_h) > float(thresh)
+        mask[best_c] = False
+        n_re = int(mask.sum())
+        if n_re == 0:
+            return states, params_all, lls, 0
+        mask_j = jnp.asarray(mask)
+
+        def adopt(a):
+            a = jnp.asarray(a)
+            m = mask_j.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a[best_c][None], a)
+
+        states = self._put(jax.tree.map(adopt, states))
+        params_all = self._put(jax.tree.map(adopt, params_all))
+        lls_h[mask] = lls_h[best_c]
+        return states, params_all, lls_h, n_re

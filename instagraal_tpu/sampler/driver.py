@@ -60,6 +60,8 @@ class Scaffolder:
         chains: int = 1,
         shard_nnz: bool = False,
         steps_per_call: int | str | None = "auto",
+        exchange_every: int = 0,
+        exchange_thresh: float = 0.0,
     ):
         """slice_capacity: int, "auto", or None (nnz // 8 default) —
         forwarded to SweepEngine; see suggest_slice_capacity.
@@ -79,6 +81,15 @@ class Scaffolder:
         takes the best chain (SURVEY.md §2.3 north star). When the
         JAX device count is divisible by `chains`, chains are sharded
         across a device mesh; otherwise they run batched on one chip.
+
+        exchange_every: with chains > 1, every N cycles re-seed chains
+        whose likelihood trails the best chain by more than
+        exchange_thresh log-units from the best chain's genome and
+        parameters (elitist exchange; PRNG streams stay per-chain so
+        re-seeded chains diverge again immediately). 0 = independent
+        chains. Measured: independent chains buy only 1.0-1.9x
+        cycles-to-target at C=8 (docs/tts_yeast_l4.json) — exchange
+        is the lever beyond that.
 
         steps_per_call: "auto" (default) splits fine-level cycles into
         device calls of <=1024 sweep steps — bit-identical results,
@@ -117,6 +128,8 @@ class Scaffolder:
         self.chains = int(chains)
         self.shard_nnz = bool(shard_nnz)
         self.steps_per_call = steps_per_call
+        self.exchange_every = int(exchange_every)
+        self.exchange_thresh = float(exchange_thresh)
         if self.chains > 1 and engine != "scan":
             raise ValueError("chains > 1 requires the scan engine")
         if self.shard_nnz and engine != "scan":
@@ -231,12 +244,16 @@ class Scaffolder:
             sampler.bomb_the_genome()
         if self._sweep_engine is None:
             kw = {}
-            if self.shard_nnz and len(jax.devices()) > 1:
+            if self.shard_nnz:
                 from ..parallel.mesh import make_mesh
 
+                # honored even on one device: the 1-device shard_map
+                # graph is the exact per-shard program a pod runs
+                # (measured at parity with the replicated engine —
+                # docs/seg_shard_probe.json resolution_r5)
                 kw = {"mesh": make_mesh(chains=1), "shard_nnz": True}
                 logger.info(
-                    "contact matrix sharded over %d devices",
+                    "contact matrix sharded over %d device(s)",
                     len(jax.devices()),
                 )
             with self.timer.phase("engine_build"):
@@ -435,9 +452,17 @@ class Scaffolder:
                     f"over all devices with the chains batched locally"
                 )
         elif self.shard_nnz:
-            logger.warning(
-                "shard_nnz requested but only one device is visible; "
-                "contact matrix stays on that chip"
+            # one device: still run the shard_map graph (chains
+            # batched locally on the single shard) — it is the exact
+            # per-shard program a pod runs, at measured parity with
+            # the replicated engine (docs/seg_shard_probe.json)
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(chains=1)
+            engine_kw = {"mesh": mesh, "shard_nnz": True}
+            logger.info(
+                "single device: nnz shard_map with %d chains batched "
+                "locally", C,
             )
         if self._sweep_engine is None:
             with self.timer.phase("engine_build"):
@@ -537,6 +562,19 @@ class Scaffolder:
             sampler.mean_length_contigs = float(
                 traces["mean_len"][best_c][-1]
             )
+            if (
+                self.exchange_every
+                and (j + 1) % self.exchange_every == 0
+            ):
+                states, params_all, lls, n_re = ms.restart_from_best(
+                    states, params_all, lls, self.exchange_thresh
+                )
+                if n_re:
+                    logger.info(
+                        "cycle %d: exchange re-seeded %d/%d chains "
+                        "from chain %d (thresh %.1f)",
+                        j, n_re, C, best_c, self.exchange_thresh,
+                    )
             self.collect = collect_chains[best_c]
             self.collect_mutations = mutations_chains[best_c]
             with self.timer.phase("cycle_outputs"):
@@ -712,6 +750,8 @@ def run_instagraal(
     chains: int = 1,
     shard_nnz: bool = False,
     steps_per_call: int | str | None = "auto",
+    exchange_every: int = 0,
+    exchange_thresh: float = 0.0,
     profile=None,
 ) -> None:
     """Run the scaffolding pipeline (reference instagraal.py:502-638).
@@ -750,6 +790,8 @@ def run_instagraal(
         chains=chains,
         shard_nnz=shard_nnz,
         steps_per_call=steps_per_call,
+        exchange_every=exchange_every,
+        exchange_thresh=exchange_thresh,
     )
     import contextlib
 

@@ -846,6 +846,45 @@ class TestMultiChainSweep:
         assert ll == lls.max()
         assert best.pos.shape == (sim.n_frags,)
 
+    def test_restart_from_best(self, sim, params):
+        """Elitist exchange: lagging chains adopt the best chain's
+        genome/params/ll; the best chain and within-thresh chains are
+        untouched (round-5 chain-exchange lever)."""
+        from instagraal_tpu.parallel import make_mesh
+        from instagraal_tpu.sampler.device_sweep import MultiChainSweep
+
+        engine = SweepEngine(
+            sim, backend="sliced", sample_param=False,
+            exact_overflow=False,
+        )
+        mesh = make_mesh(n_devices=8, chains=4)
+        mc = MultiChainSweep(engine, mesh=mesh, n_chains=4)
+        states = mc.broadcast_state(sim.state)
+        p_all = mc.broadcast_params(params)
+        ll0 = engine.initial_ll(sim.state, params)
+        lls = np.full(4, ll0)
+        states, p_all, lls, _ = mc.run_cycle(
+            states, p_all, lls, jax.random.PRNGKey(0),
+            sample_param=False,
+        )
+        best_c = int(np.argmax(lls))
+        s2, p2, lls2, n_re = mc.restart_from_best(
+            states, p_all, lls, thresh=0.0
+        )
+        assert n_re == int(np.sum(lls < lls.max()))
+        assert np.all(np.asarray(lls2) == lls[best_c])
+        best_state = jax.tree.map(lambda a: a[best_c], states)
+        for c in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(s2.pos[c]), np.asarray(best_state.pos)
+            )
+        # huge threshold: nothing restarted, inputs pass through
+        s3, p3, lls3, n0 = mc.restart_from_best(
+            states, p_all, lls, thresh=1e12
+        )
+        assert n0 == 0
+        assert s3 is states and p3 is p_all
+
     def test_exact_overflow_chain_matches_single(self):
         """Multi-chain scoring is exact even when slices overflow the
         capacity: the step-level overflow cond lowers to a select of two
@@ -881,21 +920,20 @@ class TestMultiChainSweep:
         states = mc.broadcast_state(ssim.state)
         lls = np.full(2, ll0)
         keys_used = jax.random.split(key, 2)
-        states2, p_all, lls2, tr_mc = mc._cycle_all(
+        from instagraal_tpu.sampler.device_sweep import traces_to_host
+
+        states2, p_all, lls2, tr_packed = mc._cycle_all(
             states,
             mc.broadcast_params(ssim.params),
             jnp.asarray(lls, dtype=jnp.float32),
             jnp.stack([key, keys_used[1]]),
             np.full(engine.n_frags, False),
         )
-        np.testing.assert_array_equal(
-            np.asarray(tr_mc["id_fA"])[0], tr_ref["id_fA"]
-        )
-        np.testing.assert_array_equal(
-            np.asarray(tr_mc["op"])[0], tr_ref["op"]
-        )
+        tr_mc = traces_to_host(tr_packed)
+        np.testing.assert_array_equal(tr_mc["id_fA"][0], tr_ref["id_fA"])
+        np.testing.assert_array_equal(tr_mc["op"][0], tr_ref["op"])
         np.testing.assert_allclose(
-            np.asarray(tr_mc["likelihood"])[0],
+            tr_mc["likelihood"][0],
             tr_ref["likelihood"],
             rtol=1e-4,
             atol=0.5,
