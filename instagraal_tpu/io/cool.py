@@ -76,10 +76,23 @@ def write_cool(
         )
 
         grp = f.create_group("bins")
+        # the cooler schema stores bins/chrom as an HDF5 enum of the
+        # chromosome names — but the enum TYPE definition lives in the
+        # dataset's object header, which HDF5 caps at 64 KB. A
+        # fragmented draft (thousands of contigs) blows that cap, so
+        # follow cooler's own fallback: plain integer ids, resolved
+        # through chroms/name (hit at 6,000 contigs in the config-#5
+        # scale run; 'object header message is too large')
+        enum_size = sum(len(c) + 16 for c in chrom_names)
+        chrom_dtype = (
+            h5py.enum_dtype(chrom_id, basetype=np.int32)
+            if enum_size < 48_000
+            else np.int32
+        )
         grp.create_dataset(
             "chrom",
             data=bin_chrom_ids,
-            dtype=h5py.enum_dtype(chrom_id, basetype=np.int32),
+            dtype=chrom_dtype,
         )
         grp.create_dataset(
             "start", data=bins["start"].to_numpy(dtype=np.int32)

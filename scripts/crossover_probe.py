@@ -28,6 +28,8 @@ os.environ.setdefault(
 
 
 def time_backend(sim, backend, steps, state, params):
+    """Returns the per-run steps/s list (3 timed chunks after the
+    compile chunk; report the spread — VERDICT r4 #7)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,17 +50,24 @@ def time_backend(sim, backend, steps, state, params):
     pp, nz = engine._init_cache(state, p)
     args = (state, p, jnp.float32(0.0), pp, nz, order, keys, flags)
     jax.block_until_ready(engine._run_chunk(*args))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(engine._run_chunk(*args))
-    t1 = time.perf_counter()
-    jax.block_until_ready(engine._run_chunk(*args))
-    t2 = time.perf_counter()
-    return steps / min(t1 - t0, t2 - t1)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(engine._run_chunk(*args))
+        runs.append(steps / (time.perf_counter() - t0))
+    return runs
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", type=int, nargs="+", default=[4, 3])
+    ap.add_argument(
+        "--synthetic", type=int, nargs="*", default=[],
+        help="ALSO time backends on banded SyntheticSim shapes with "
+        "these fragment counts (~3 subs/frag: 10000 -> ~30k subs, "
+        "70000 -> ~210k subs) — the config-#5 regime the auto rule "
+        "must hold in (VERDICT r4 #8)",
+    )
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -87,19 +96,50 @@ def main():
         for backend in ("block", "seg"):
             if backend == "block" and n_sub + 1 > 6144:
                 continue
-            r = time_backend(sim, backend, args.steps, state, params)
+            runs = time_backend(
+                sim, backend, args.steps, state, params
+            )
             row = {
                 "level": level,
                 "backend": backend,
                 "n_frags": sim.n_frags,
                 "n_sub": n_sub,
                 "nnz": int(sim.coo_rows.shape[0]),
-                "steps_per_sec": round(r, 1),
+                "steps_per_sec": round(max(runs), 1),
+                "steps_per_sec_runs": [round(r, 1) for r in runs],
             }
             rows.append(row)
             log(json.dumps(row))
 
-    line = json.dumps({"crossover": rows})
+    for n_frags in args.synthetic:
+        from instagraal_tpu.testing import SyntheticSim
+
+        ssim = SyntheticSim(
+            n_frags=n_frags, n_contigs=max(8, n_frags // 20),
+            seed=0, band=16,
+        )
+        sstate = explode_genome(
+            ssim.state, np.arange(ssim.n_frags, dtype=np.int32)
+        )
+        s_sub = int(np.asarray(ssim.sub_index.frag_of_sub).shape[0])
+        for backend in ("seg", "sliced"):
+            runs = time_backend(
+                ssim, backend, args.steps, sstate, ssim.params
+            )
+            row = {
+                "synthetic_frags": n_frags,
+                "backend": backend,
+                "n_sub": s_sub,
+                "nnz": int(ssim.coo_rows.shape[0]),
+                "steps_per_sec": round(max(runs), 1),
+                "steps_per_sec_runs": [round(r, 1) for r in runs],
+            }
+            rows.append(row)
+            log(json.dumps(row))
+
+    from scripts._probemeta import probe_meta
+
+    line = json.dumps({"crossover": rows, **probe_meta()})
     print(line)
     if args.out:
         pathlib.Path(args.out).write_text(line + "\n")

@@ -132,6 +132,9 @@ def main():
         "bound; per-step work O(window), per-shard pixel HBM "
         "O(nnz/S)",
     }
+    from scripts._probemeta import probe_meta
+
+    result.update(probe_meta())
     line = json.dumps(result)
     print(line)
     if args.out:

@@ -63,6 +63,9 @@ def main():
         sim, state, params=params, caps=args.caps,
         probe_steps=args.steps, log=log,
     )
+    from scripts._probemeta import probe_meta
+
+    table.update(probe_meta())
     line = json.dumps(table)
     print(line)
     if args.out:

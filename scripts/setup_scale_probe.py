@@ -147,6 +147,9 @@ def main():
     }
     log(f"build_sub_index: {results['build_sub_index']}")
 
+    from scripts._probemeta import probe_meta
+
+    results = {"results": results, **probe_meta()}
     line = json.dumps(results)
     print(line)
     if args.out:

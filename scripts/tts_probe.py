@@ -20,9 +20,20 @@ Target: the likelihood chain 0 (the single-chain run) reaches after
 0.98 — the last couple of percent is a long greedy tail every chain
 crosses at its own pace, which would swamp the statistic with noise).
 
+--exchange-every E (round 5): ALSO run C_max chains advanced in
+lockstep with elitist exchange — every E cycles, chains trailing the
+best by more than --exchange-thresh log-units adopt the best chain's
+(state, params, ll), keeping their own PRNG streams
+(MultiChainSweep.restart_from_best semantics, host-simulated here so
+the per-cycle trajectories stay engine-exact). The exchanged best-of-C
+curve lands next to the independent one, so the table answers "what
+does exchange buy at C=8 over independence" directly.
+
 Usage:
   python scripts/tts_probe.py [--chains-max 8] [--cycles 30]
-         [--level 4] [--seed 0] [--gain-frac 0.98] [--out FILE]
+         [--level 4] [--seed 0] [--gain-frac 0.98]
+         [--exchange-every E [E ...]] [--exchange-thresh T]
+         [--out FILE]
 
 Writes one JSON line per C plus a markdown table (through a tunneled
 TPU always use --out; pipes lose partial output).
@@ -52,6 +63,11 @@ def main():
     ap.add_argument("--level", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gain-frac", type=float, default=0.98)
+    ap.add_argument(
+        "--exchange-every", type=int, nargs="*", default=[],
+        help="also measure elitist-exchange chains at these periods",
+    )
+    ap.add_argument("--exchange-thresh", type=float, default=0.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -135,6 +151,63 @@ def main():
         )
     )
 
+    # ---- elitist-exchange runs (round 5): C_max chains in lockstep,
+    # every E cycles lagging chains adopt the best chain's
+    # (state, params, ll); per-chain keys stay fold_in(seed, c), so
+    # E -> infinity reproduces the independent table above exactly.
+    exchange_curves = {}
+    for E in args.exchange_every:
+        C = args.chains_max
+        chains = [
+            {
+                "state": state0, "params": params0,
+                "ll": float(ll0),
+                "key": jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed), c
+                ),
+            }
+            for c in range(C)
+        ]
+        curve = np.full(args.cycles, -np.inf)
+        hi = -np.inf
+        t_ex = time.perf_counter()
+        for n in range(args.cycles):
+            for ch in chains:
+                ch["key"], sub = jax.random.split(ch["key"])
+                (ch["state"], ch["params"], ch["ll"], _) = (
+                    engine.run_cycle(
+                        ch["state"], ch["params"], ch["ll"], sub,
+                        sample_param=(n > 4),
+                    )
+                )
+            lls_now = np.array([ch["ll"] for ch in chains])
+            hi = max(hi, float(lls_now.max()))
+            curve[n] = hi
+            if (n + 1) % E == 0:
+                best_c = int(np.argmax(lls_now))
+                lag = lls_now[best_c] - lls_now
+                for c, ch in enumerate(chains):
+                    if c != best_c and lag[c] > args.exchange_thresh:
+                        ch["state"] = chains[best_c]["state"]
+                        ch["params"] = chains[best_c]["params"]
+                        ch["ll"] = chains[best_c]["ll"]
+        exchange_curves[E] = curve
+        print(
+            f"exchange E={E}: final best {hi:.1f} "
+            f"(elapsed {time.perf_counter() - t_ex:.0f}s)",
+            file=sys.stderr, flush=True,
+        )
+        log(
+            json.dumps(
+                {
+                    "exchange_every": E,
+                    "exchange_thresh": args.exchange_thresh,
+                    "chains": C,
+                    "best_curve": [round(v, 1) for v in curve],
+                }
+            )
+        )
+
     c_values = [c for c in (1, 2, 4, 8, 16) if c <= args.chains_max]
     gain1 = best[0, -1] - float(ll0)
     fracs = sorted({args.gain_frac, 0.98, 0.995, 0.999, 1.0})
@@ -153,6 +226,26 @@ def main():
                     {
                         "gain_frac": frac,
                         "chains": C,
+                        "cycles_to_target": cyc,
+                        "target_ll": round(target, 1),
+                        "best_final_ll": round(float(curve[-1]), 1),
+                        "speedup_vs_1_chain": (
+                            round(rows[0][1] / cyc, 2)
+                            if cyc and rows[0][1]
+                            else None
+                        ),
+                    }
+                )
+            )
+        for E, curve in exchange_curves.items():
+            reached = np.nonzero(curve >= target)[0]
+            cyc = int(reached[0]) + 1 if reached.size else None
+            log(
+                json.dumps(
+                    {
+                        "gain_frac": frac,
+                        "chains": args.chains_max,
+                        "exchange_every": E,
                         "cycles_to_target": cyc,
                         "target_ll": round(target, 1),
                         "best_final_ll": round(float(curve[-1]), 1),

@@ -223,3 +223,59 @@ class TestScaffolderCli:
         )
         assert result.exit_code == 0, result.output
         assert (tmp_path / "pyr" / "pyramids").exists()
+
+
+class TestInstagraalTestCli:
+    """instagraal-test: Zenodo attempt-then-fallback (reference
+    cli/test.py:21-23; VERDICT r4 #9)."""
+
+    def test_fallback_on_unreachable_zenodo(self, tmp_path, monkeypatch):
+        """When the Zenodo fetch fails, the command says so and falls
+        back to the synthetic dataset (no network in CI)."""
+        import urllib.error
+
+        from instagraal_tpu.cli import test as test_cli
+
+        calls = []
+
+        def fake_urlopen(url, timeout=None):
+            calls.append(url)
+            raise urllib.error.URLError("no network")
+
+        monkeypatch.setattr(
+            test_cli.urllib.request, "urlopen", fake_urlopen
+        )
+        got = test_cli.fetch_zenodo_dataset(tmp_path)
+        assert got is None
+        assert calls and test_cli.ZENODO_RECORD_ID in calls[0]
+        # no partial files left behind
+        assert not any(tmp_path.iterdir())
+
+    def test_fetch_uses_cached_files(self, tmp_path, monkeypatch):
+        """Existing downloads are reused without touching the net."""
+        from instagraal_tpu.cli import test as test_cli
+
+        (tmp_path / test_cli.TEST_FASTA).write_bytes(b"x")
+        (tmp_path / test_cli.TEST_PAIRS).write_bytes(b"y")
+
+        def boom(url, timeout=None):  # pragma: no cover
+            raise AssertionError("network touched despite cache")
+
+        monkeypatch.setattr(
+            test_cli.urllib.request, "urlopen", boom
+        )
+        fasta, pairs = test_cli.fetch_zenodo_dataset(tmp_path)
+        assert fasta.name == test_cli.TEST_FASTA
+        assert pairs.name == test_cli.TEST_PAIRS
+
+    def test_offline_flag_skips_download(self, monkeypatch, tmp_path):
+        """--offline + --help style smoke: the option exists and the
+        command wires it (full runs live in the endtoend tests)."""
+        from click.testing import CliRunner
+
+        from instagraal_tpu.cli import test as test_cli
+
+        r = CliRunner().invoke(test_cli.main, ["--help"])
+        assert r.exit_code == 0
+        assert "--offline" in r.output
+        assert "Zenodo" in r.output or "zenodo" in r.output

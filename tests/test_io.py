@@ -260,3 +260,40 @@ class TestSimulatedData:
         # cis enrichment sanity: diagonal-adjacent pixels dominate
         frags = formats.read_fragments_list(d / "fragments_list.txt")
         assert len(frags) == stats["n_frags"]
+
+
+def test_write_cool_many_contigs(tmp_path):
+    """A fragmented draft (thousands of contigs) must not blow the
+    HDF5 64 KB object-header cap through the bins/chrom enum dtype —
+    cooler's own fallback is plain int ids + chroms/name lookup
+    (hit at 6,000 contigs in the config-#5 scale run)."""
+    import h5py
+    import numpy as np
+    import pandas as pd
+
+    from instagraal_tpu.io.cool import write_cool
+
+    n = 6000
+    names = [f"contig_{i:05d}_from_chr{i % 16}:1-1000" for i in range(n)]
+    bins = pd.DataFrame(
+        {"chrom": names, "start": 0, "end": 1000}
+    )
+    pixels = pd.DataFrame(
+        {"bin1_id": [0, 1], "bin2_id": [1, 2], "count": [3, 4]}
+    )
+    path = tmp_path / "many.cool"
+    write_cool(path, bins, pixels)
+    with h5py.File(path) as f:
+        chrom = f["bins/chrom"][:]
+        assert chrom.shape == (n,)
+        assert f["chroms/name"].shape == (n,)
+        # ids resolve through chroms/name
+        assert (
+            f["chroms/name"][int(chrom[0])].decode()
+            == names[0]
+        )
+    # small assemblies keep the enum dtype
+    small = tmp_path / "small.cool"
+    write_cool(small, bins.iloc[:5].copy(), pixels)
+    with h5py.File(small) as f:
+        assert h5py.check_enum_dtype(f["bins/chrom"].dtype) is not None
