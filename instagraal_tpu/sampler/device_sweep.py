@@ -224,7 +224,11 @@ def _chain_batched_shard_map(
             return jax.tree.map(lambda x: jnp.expand_dims(x, 0), out)
         return jax.vmap(lambda *b: fn(*b, *shared))(*batched)
 
-    def cycle_b(state, params, ll, keys, flags):
+    # operands (the sharded pixel buffers) ride as RUNTIME ARGS of the
+    # jitted wrappers, never as closure constants — a closed-over
+    # jax.Array is serialized into the HLO literal-by-literal, which
+    # blows the remote-compile request cap at config-#5 nnz
+    def cycle_b(state, params, ll, keys, flags, *ops):
         def inner(state, params, ll, keys, flags, *ops):
             f = get_fns(*ops)[0]
             return _per_chain(f, (state, params, ll, keys), (flags,))
@@ -235,9 +239,9 @@ def _chain_batched_shard_map(
             in_specs=(Pc, Pc, Pc, Pc, P()) + operand_specs,
             out_specs=Pc,
             check_vma=False,
-        )(state, params, ll, keys, flags, *operands)
+        )(state, params, ll, keys, flags, *ops)
 
-    def chunk_b(state, params, ll, pp, nz, order, keys, flags):
+    def chunk_b(state, params, ll, pp, nz, order, keys, flags, *ops):
         def inner(state, params, ll, pp, nz, order, keys, flags, *ops):
             f = get_fns(*ops)[2]
             return _per_chain(
@@ -251,9 +255,9 @@ def _chain_batched_shard_map(
             + operand_specs,
             out_specs=(Pc, Pc, Pc, pp_spec, Pc, Pc),
             check_vma=False,
-        )(state, params, ll, pp, nz, order, keys, flags, *operands)
+        )(state, params, ll, pp, nz, order, keys, flags, *ops)
 
-    def init_b(state, params):
+    def init_b(state, params, *ops):
         def inner(state, params, *ops):
             f = get_fns(*ops)[3]
             return _per_chain(f, (state, params), ())
@@ -264,12 +268,19 @@ def _chain_batched_shard_map(
             in_specs=(Pc, Pc) + operand_specs,
             out_specs=(pp_spec, Pc),
             check_vma=False,
-        )(state, params, *operands)
+        )(state, params, *ops)
 
+    jit_cycle = jax.jit(cycle_b)
+    jit_chunk = jax.jit(chunk_b)
+    jit_init = jax.jit(init_b)
     return ChainBatchedFns(
-        cycle=jax.jit(cycle_b),
-        chunk=jax.jit(chunk_b),
-        init_cache=jax.jit(init_b),
+        cycle=lambda s, p, ll, k, f: jit_cycle(
+            s, p, ll, k, f, *operands
+        ),
+        chunk=lambda s, p, ll, pp, nz, o, k, f: jit_chunk(
+            s, p, ll, pp, nz, o, k, f, *operands
+        ),
+        init_cache=lambda s, p: jit_init(s, p, *operands),
     )
 
 
@@ -1112,8 +1123,16 @@ class SweepEngine:
 
             pix_ops = (rows_s, cols_s, dn_s, wm_s) + seg_ops
 
+            # The pixel arrays are passed as RUNTIME ARGUMENTS (*pix),
+            # never captured as jit closure constants: a closed-over
+            # jax.Array is serialized into the HLO as a literal, and
+            # at config-#5 scale (7.1M nnz = hundreds of MB of COO +
+            # run indexes) that blew the remote-compile transport's
+            # request-size cap (HTTP 413) before XLA ever saw the
+            # program. As arguments they are device-resident buffers
+            # the executable merely binds.
             def chunk_sharded(state, params, ll_t, pp, nz, order, keys,
-                              flags):
+                              flags, *pix):
                 def inner(state, params, ll_t, pp, nz, order, keys,
                           flags, *pix):
                     return _kern(*pix)[2](
@@ -1129,9 +1148,9 @@ class SweepEngine:
                     out_specs=(P(), P(), P(), pp_spec, P(), P()),
                     check_vma=False,
                 )(state, params, ll_t, pp, nz, order, keys, flags,
-                  *pix_ops)
+                  *pix)
 
-            def init_cache_sharded(state, params):
+            def init_cache_sharded(state, params, *pix):
                 def inner(state, params, *pix):
                     return _kern(*pix)[3](state, params)
 
@@ -1141,12 +1160,12 @@ class SweepEngine:
                     in_specs=(P(), P()) + pspec,
                     out_specs=(pp_spec, P()),
                     check_vma=False,
-                )(state, params, *pix_ops)
+                )(state, params, *pix)
 
             self._run_chunk = jax.jit(chunk_sharded)
             self._init_cache = jax.jit(init_cache_sharded)
 
-            def cycle_fn(state, params, ll_t, key, flags):
+            def cycle_fn(state, params, ll_t, key, flags, *pix):
                 def inner(state, params, ll_t, key, flags, *pix):
                     return _kern(*pix)[0](
                         state, params, ll_t, key, flags
@@ -1158,9 +1177,9 @@ class SweepEngine:
                     in_specs=(P(), P(), P(), P(), P()) + pspec,
                     out_specs=P(),
                     check_vma=False,
-                )(state, params, ll_t, key, flags, *pix_ops)
+                )(state, params, ll_t, key, flags, *pix)
 
-            def initial_fn(state, params):
+            def initial_fn(state, params, *pix):
                 def inner(state, params, *pix):
                     return _kern(*pix)[1](state, params)
 
@@ -1170,12 +1189,13 @@ class SweepEngine:
                     in_specs=(P(), P()) + pspec,
                     out_specs=P(),
                     check_vma=False,
-                )(state, params, *pix_ops)
+                )(state, params, *pix)
 
             # handles for tests to verify real per-device pixel shards
             self._pix_sharded = (rows_s, cols_s, dn_s, wm_s)
             self._seg_static_ops = seg_ops or None
             self._pix_spec = pspec[0]
+            self._pix_args = pix_ops
 
             def _batched_fns(n_chains):
                 # chains x pixel shards on one 2-D mesh: chain-batched
@@ -1227,6 +1247,10 @@ class SweepEngine:
             _init_jit = self._init_cache
             _cycle_jit = self._run_cycle
             _ill_jit = self._initial_ll
+            # shard_nnz engines append the sharded pixel buffers as
+            # runtime args (see chunk_sharded: closure constants blow
+            # the remote-compile request cap at config-#5 nnz)
+            _extra = getattr(self, "_pix_args", ())
 
             def _chunk_placed(state, params, ll_t, pp, nz, order, keys,
                               flags):
@@ -1234,22 +1258,25 @@ class SweepEngine:
                     (state, params, ll_t)
                 )
                 return _chunk_jit(
-                    state, params, ll_t, pp, nz, order, keys, flags
+                    state, params, ll_t, pp, nz, order, keys, flags,
+                    *_extra,
                 )
 
             def _init_placed(state, params):
                 state, params = _place_carry((state, params))
-                return _init_jit(state, params)
+                return _init_jit(state, params, *_extra)
 
             def _cycle_placed(state, params, ll_t, key, flags):
                 state, params, ll_t = _place_carry(
                     (state, params, ll_t)
                 )
-                return _cycle_jit(state, params, ll_t, key, flags)
+                return _cycle_jit(
+                    state, params, ll_t, key, flags, *_extra
+                )
 
             def _ill_placed(state, params):
                 state, params = _place_carry((state, params))
-                return _ill_jit(state, params)
+                return _ill_jit(state, params, *_extra)
 
             self._run_chunk = _chunk_placed
             self._init_cache = _init_placed

@@ -18,7 +18,6 @@ Usage: python scripts/large_scale_run.py [--cycles 1] [--resume-cycles 1]
 
 import argparse
 import json
-import os
 import pathlib
 import subprocess
 import sys

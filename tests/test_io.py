@@ -268,7 +268,6 @@ def test_write_cool_many_contigs(tmp_path):
     cooler's own fallback is plain int ids + chroms/name lookup
     (hit at 6,000 contigs in the config-#5 scale run)."""
     import h5py
-    import numpy as np
     import pandas as pd
 
     from instagraal_tpu.io.cool import write_cool
