@@ -112,6 +112,14 @@ def main():
     ap.add_argument("--genome-mb", type=float, default=77.0)
     ap.add_argument("--pairs", type=int, default=8_000_000)
     ap.add_argument("--level", type=int, default=1)
+    ap.add_argument(
+        "--slice-cap", type=int, default=2048,
+        help="seg tier-1 capacity (the --slice-cap CLI knob). The "
+        "auto formula sizes tier 1 as nnz/1024 (~6.9k at 7.1M nnz), "
+        "measured 55 ms/step here; bombed-start windows are ~3k "
+        "pixels, so 2048 with tier-2/exact fallbacks is the faster "
+        "safe choice",
+    )
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the cached output dir (not the dataset)")
     ap.add_argument("--out-json",
@@ -141,7 +149,7 @@ def main():
     t0 = time.perf_counter()
     scaf = Scaffolder(
         "hic", pre_dir, fasta, level=args.level, output_folder=out,
-        seed=0, shard_nnz=True,
+        seed=0, shard_nnz=True, slice_capacity=args.slice_cap,
     )
     t_setup = time.perf_counter() - t0
     sim = scaf.simulation
@@ -163,11 +171,48 @@ def main():
         k: round(v, 1) for k, v in scaf.timer.totals.items()
     }
 
+    # write the first-run record NOW (the resume leg is a separate
+    # process-restart demonstration; a failure there must not lose
+    # this evidence)
+    partial = {
+        "what": "BASELINE config #5 driver-level run: shard_nnz seg "
+                "engine through the full production pipeline",
+        "commit": commit,
+        "reproduce": "python scripts/large_scale_run.py "
+        + " ".join(sys.argv[1:]),
+        "device": str(jax.devices()[0]),
+        "workload": {
+            "genome_mb": args.genome_mb,
+            "pairs_simulated": args.pairs,
+            "level": args.level,
+            "n_frags": sim.n_frags,
+            "n_sub": n_sub,
+            "nnz": nnz,
+        },
+        "dataset_gen": gen_timings,
+        "first_run": {
+            "setup_s": round(t_setup, 1),
+            "cycles": args.cycles,
+            "wall_s": round(t_run, 1),
+            "phases": phase,
+            "backend": eng.backend,
+            "shard_nnz": bool(eng.shard_nnz),
+            "seg_local": bool(eng.seg_local),
+            "n_shards": int(n_sh),
+            "pixel_hbm_mb_per_shard": round(hbm_mb, 1),
+            "steps_per_call": eng.steps_per_call,
+            "slice_cap": int(eng.slice_capacity),
+        },
+    }
+    pathlib.Path(args.out_json).write_text(
+        json.dumps(partial, indent=1) + "\n"
+    )
+
     # resume: one more cycle through the checkpoint path
     t0 = time.perf_counter()
     scaf2 = Scaffolder(
         "hic", pre_dir, fasta, level=args.level, output_folder=out,
-        seed=0, shard_nnz=True,
+        seed=0, shard_nnz=True, slice_capacity=args.slice_cap,
     )
     t_setup2 = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -178,6 +223,8 @@ def main():
     quality = adjacency_recall(scaf2)
 
     lls = np.loadtxt(scaf2.out / "list_likelihood.txt")
+    result = dict(partial)
+    del result  # rebuilt below with the resume fields
     result = {
         "what": "BASELINE config #5 driver-level run: shard_nnz seg "
                 "engine through the full production pipeline",
@@ -205,6 +252,7 @@ def main():
             "n_shards": int(n_sh),
             "pixel_hbm_mb_per_shard": round(hbm_mb, 1),
             "steps_per_call": eng.steps_per_call,
+            "slice_cap": int(eng.slice_capacity),
         },
         "resume_run": {
             "setup_s": round(t_setup2, 1),
