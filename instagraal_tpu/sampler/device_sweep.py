@@ -776,8 +776,17 @@ class SweepEngine:
             if isinstance(slice_capacity_req, int):
                 tier1 = int(min(nnz_cap, slice_capacity_req))
             else:
+                # auto tier 1 = nnz/1024, clamped to [512, 2048]. The
+                # nnz/1024 term matched the measured best at yeast-L2
+                # (954 at 1M nnz, docs/seg_cap_probe.json); the upper
+                # clamp was 8192 until the 7.1M-nnz config-#5 run
+                # measured the formula's 6.9k cap at 55.4 ms/step vs
+                # 33.4 with 2048 (bombed-start windows are ~3k pixels;
+                # oversized caps cost pure window traffic). Tier-2 +
+                # exact-overflow fallbacks keep any cap exact; probe
+                # with scripts/seg_cap_probe.py / --slice-cap to tune.
                 tier1 = int(
-                    min(nnz_cap, max(512, min(nnz_cap // 1024, 8192)))
+                    min(nnz_cap, max(512, min(nnz_cap // 1024, 2048)))
                 )
             tier2 = int(
                 min(
