@@ -182,7 +182,7 @@ def main():
     beyond = None
     if (
         workload == "yeast-L4"
-        and time.perf_counter() - T_START < 400.0
+        and time.perf_counter() - T_START < 520.0
         and os.environ.get("INSTAGRAAL_TPU_BENCH_BEYOND", "1") != "0"
     ):
         try:
