@@ -87,7 +87,7 @@ def adjacency_recall(scaf):
     id_c = np.asarray(st.id_c)
     pos = np.asarray(st.pos)
     names = np.asarray(
-        scaf.simulation.level.S_o_A_frags["chrom"], dtype=object
+        scaf.simulation.level.frags_init_contigs, dtype=object
     )
     order = np.lexsort((pos, id_c))
     pred_pairs = set()
