@@ -205,7 +205,13 @@ def main():
     if JSON_PATH.exists():
         doc = json.loads(JSON_PATH.read_text())
         rows = doc.get("rows", [doc] if doc.get("scaffold") else [])
-        recorded = {r.get("config", "l4"): r for r in rows}
+        for r in rows:
+            # normalize legacy (round-4 single-row) records
+            r.setdefault("config", "l4")
+            r.setdefault("workload", r.get("workload", "yeast-L4"))
+            r.setdefault("chains", 1)
+            r.setdefault("backend", "block")
+        recorded = {r["config"]: r for r in rows}
 
     fresh = []
     violations = []
@@ -218,6 +224,30 @@ def main():
         fresh.append(row)
         if args.check and name in recorded:
             violations += check_row(row, recorded[name])
+        elif not args.check:
+            # crash-proof: persist after EVERY config (a TPU worker
+            # crash 30 min into the next config must not lose this
+            # row — it did, twice, on 2026-08-21)
+            recorded[name] = row
+            rows_now = [recorded[k] for k in CONFIGS if k in recorded]
+            JSON_PATH.write_text(
+                json.dumps(
+                    {
+                        "commit": commit,
+                        "reproduce":
+                            "python scripts/quality_baseline.py "
+                            + " ".join(sys.argv[1:]),
+                        "bands": {
+                            "gt_100kb_tol": GT100_TOL,
+                            "ll_rel_tol": LL_REL_TOL,
+                        },
+                        "rows": rows_now,
+                    },
+                    indent=1,
+                )
+                + "\n"
+            )
+            write_md(rows_now)
 
     if args.check:
         if violations:
