@@ -43,7 +43,12 @@ MD_PATH = REPO / "docs" / "QUALITY.md"
 
 CONFIGS = {
     "l4": {"level": 4, "chains": 1, "backend": None},
-    "l2-seg": {"level": 2, "chains": 1, "backend": "seg"},
+    # steps_per_call pinned to 256: the auto-calibrated 1024-step seg
+    # call crashed the TPU worker in three consecutive runs
+    # (quality_baseline.json l2_seg_attempts); every successful seg
+    # measurement used <=256-step calls
+    "l2-seg": {"level": 2, "chains": 1, "backend": "seg",
+               "steps_per_call": 256},
     "l4-chains": {"level": 4, "chains": 4, "backend": None},
 }
 
@@ -87,6 +92,8 @@ def run_config(name, cfg, cycles, seed, log):
         # force past the block envelope by level choice; the engine
         # resolves seg on its own at L2 — asserted below
         pass
+    if cfg.get("steps_per_call"):
+        kw["steps_per_call"] = cfg["steps_per_call"]
     scaf = Scaffolder(
         "hic", hic, fasta, level=cfg["level"], output_folder=out,
         seed=seed, chains=cfg["chains"], **kw,
